@@ -1,0 +1,88 @@
+"""Static configuration of the GALACSI WFM ground-layer AO system.
+
+The reference implementation hardcodes these constants inside
+``simul_psd_wfm`` (reference psfrec.py:70-104) and scatters a few more magic
+numbers through ``psf_muse``/``convolve_final_psf`` (psfrec.py:655-659, 899).
+Here they live in one frozen, hashable dataclass so the whole pipeline can be
+traced once per configuration by ``jax.jit`` (the config is a static
+argument: every field is a Python scalar, and derived grids are rebuilt at
+trace time).
+
+Changing ``dim``/``dim_pup`` gives the high-resolution (2048^2) and the tiny
+multi-chip dry-run configurations with the same code path.
+"""
+
+from dataclasses import dataclass, replace
+
+
+@dataclass(frozen=True)
+class GalacsiConfig:
+    # --- telescope / AO system (reference psfrec.py:70-104) ---------------
+    dpup: float = 8.0          # telescope diameter [m]
+    occ: float = 0.14          # central obscuration (linear fraction)
+    alt_dm: float = 1.0        # DM conjugation altitude [m]
+    h_sodium: float = 90000.0  # sodium layer altitude [m] (debug only)
+    lambda_ref: float = 0.5    # PSD reference wavelength [um]
+    nact: float = 24.0         # linear number of DM actuators
+    nsspup: float = 24.0       # linear number of WFS subapertures
+    fsamp: float = 1000.0      # WFS sampling frequency [Hz]
+    delay_ms: float = 2.5      # loop delay (readout + RTC) [ms]
+    sep_lgs: float = 63.0      # LGS radial separation [arcsec]
+    noise_lgs2: float = 1.0    # WFS noise a priori [rad^2]
+    wind_speed: float = 12.5   # layer wind speed [m/s] (see int-h quirk)
+    wind_dir_0: float = 0.628163   # layer 0 wind direction [rad] (pinned)
+    wind_dir_1: float = -0.326497  # layer 1 wind direction [rad] (pinned)
+    lse: bool = True           # LSE reconstructor (False -> MAP prior)
+
+    # --- numerical grids (reference psfrec.py:103, 655-659, 899) ----------
+    dim: int = 1280            # full PSD / OTF grid [px]
+    dim_pup: int = 40          # correction-zone pupil size [px]
+    dimpsf: int = 40           # output PSF cube size [px]
+    pixscale: float = 0.2      # output PSF pixel scale [arcsec/px]
+    samp: float = 2.0          # PSF sampling (Nyquist)
+
+    # --- telemetry validity limits (reference psfrec.py:30-31) ------------
+    min_l0: float = 8.0        # minimum valid outer scale [m]
+    max_l0: float = 30.0       # maximum valid outer scale [m]
+
+    # --- compute policy ----------------------------------------------------
+    dtype: str = "float32"     # compute dtype for the heavy stages
+    fit_dtype: str = "float32" # dtype of the Moffat LM solve
+    use_zoom_dft: bool = True  # zoom-DFT (MXU matmuls) instead of full IFFT
+
+    # --- derived ------------------------------------------------------------
+    @property
+    def dimall(self) -> int:
+        """Correction-zone PSD grid size (2x the pupil, psfrec.py:138)."""
+        return 2 * self.dim_pup
+
+    @property
+    def pitch(self) -> float:
+        """Inter-actuator distance [m]."""
+        return self.dpup / self.nact
+
+    @property
+    def fc(self) -> float:
+        """AO cutoff frequency 1/(2*pitch) [1/m]."""
+        return 1.0 / (2.0 * self.pitch)
+
+    @property
+    def npup(self) -> int:
+        """Pupil support on the full grid [px] (psfrec.py:656)."""
+        return self.dim // 2
+
+    @property
+    def cdtype(self):
+        """Complex dtype matching ``dtype``."""
+        return "complex64" if self.dtype == "float32" else "complex128"
+
+    def with_(self, **kw) -> "GalacsiConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = GalacsiConfig()
+
+#: small configuration for multi-chip dry runs and fast unit tests:
+#: same code path, tiny grids, red wavelengths only (so the lambda-dependent
+#: crop fits inside the small grid).
+TINY_CONFIG = GalacsiConfig(dim=256, dim_pup=16, dimpsf=8)

@@ -1,0 +1,145 @@
+"""PSD -> structure function -> OTF -> PSF chain (JAX, batched).
+
+TPU-native reformulation of reference ``psd_to_psf`` (psfrec.py:689-807) and
+``psf_muse`` (644-686).  Three structural optimisations over the reference,
+each provably exact (validated against the float64 oracle):
+
+1. **lambda-factored structure function**: the phase covariance is
+   ``ifft2(fftshift(psd)) * convnm(lbda)^2`` — the FFT does not depend on
+   the wavelength, so one base transform per direction replaces the
+   reference's per-(lambda, direction) FFT (psfrec.py:718).
+
+2. **hoisted pupil OTF**: the diffraction OTF (pupil autocorrelation,
+   psfrec.py:783-790) is wavelength-independent; the reference recomputes it
+   per lambda.
+
+3. **fused direction average**: each direction's PSF is its OTF's inverse
+   FFT normalised by the OTF's DC coefficient (``sum(ifft2(X)) = X[0,0]``),
+   so the *average over directions of normalised PSFs* is the inverse FFT of
+   the average of normalised OTFs — one inverse transform per wavelength
+   regardless of the number of directions (psfrec.py:667-674 does
+   ndir FFTs).
+
+The lambda-dependent crop-and-regrid (psfrec.py:663-683) is fused into a
+single bilinear gather from the full-resolution PSF with traced (dynamic)
+coordinates, keeping every shape static under ``jit``.
+
+Only the live branch of the reference is implemented: ``samp == 2 ==
+dim/npup`` and ``FoV == FoVnum``.  The reference's oversampling /
+extrapolation branches are unreachable in its shipped pipeline and crash if
+forced (psfrec.py:738 passes a shape tuple to ``np.zeros`` incorrectly;
+psfrec.py:640 raises ``NotImplementedError`` for cubic interpolation); we
+reject them explicitly.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import GalacsiConfig
+from ..core.grids import pupil_mask
+
+
+def pupil_otf(cfg: GalacsiConfig):
+    """Diffraction-limited OTF: normalised pupil autocorrelation (dim, dim).
+
+    Image-centred, real.  Matches reference psfrec.py:783-790 (computed
+    there per wavelength; hoisted here — it is wavelength-independent).
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    cdtype = jnp.dtype(cfg.cdtype)
+    pup = pupil_mask(cfg.dim / 4.0, cfg.npup, oc=cfg.occ, dtype=dtype)
+    tab = jnp.zeros((cfg.dim, cfg.dim), cdtype)
+    tab = tab.at[:cfg.npup, :cfg.npup].set(pup.astype(cdtype))
+    amp = jnp.abs(jnp.fft.ifft2(tab)) ** 2
+    otf = jnp.abs(jnp.fft.fft2(amp.astype(cdtype))) / jnp.sum(pup)
+    return jnp.fft.fftshift(otf).astype(dtype)
+
+
+def dphi_base(psd, cfg: GalacsiConfig):
+    """Wavelength-free structure function (ndir, dim, dim), image-centred.
+
+    ``Dphi(lbda) = convnm(lbda)^2 * dphi_base`` where ``convnm = 2 pi /
+    lbda_nm``.  Follows reference psfrec.py:716-722 with the ``convnm``
+    factor pulled out of the FFT.
+    """
+    dim = cfg.dim
+    sampnum = dim / cfg.npup
+    L = cfg.dpup * sampnum
+    cdtype = jnp.dtype(cfg.cdtype)
+    bg = jnp.fft.ifft2(
+        jnp.fft.fftshift(psd, axes=(-2, -1)).astype(cdtype)
+    ) * (dim * dim / (L * L))
+    d = 2.0 * (bg[..., :1, :1].real - bg.real)
+    return jnp.fft.fftshift(d, axes=(-2, -1)).astype(cfg.dtype)
+
+
+def lambda_crop_size(lbda_nm, cfg: GalacsiConfig):
+    """Even crop size ``npixc(lbda)`` in px (reference psfrec.py:663-664).
+
+    QUIRK: ``np.round`` is round-half-to-even (banker's rounding); the grid
+    of MUSE wavelengths lands on .5 boundaries for some ``nl``.
+    """
+    raw = (cfg.dimpsf * cfg.pixscale * 2.0 * cfg.dpup * 4.85 * 1000.0
+           / lbda_nm)
+    return (jnp.round(raw / 2.0) * 2.0).astype(jnp.int32)
+
+
+def _bilinear_regrid(img, start, step, nout: int):
+    """out[i,j] = bilinear(img, (start + i*step, start + j*step)).
+
+    ``start``/``step`` may be traced scalars; shapes are static.  Replaces
+    the reference's crop + ``scipy.interpn`` regrid (psfrec.py:672-683) with
+    one gather, exactly (the reference's in/out transposes cancel).
+    """
+    pos = start + jnp.arange(nout, dtype=img.dtype) * step
+    i0 = jnp.floor(pos)
+    t = (pos - i0).astype(img.dtype)
+    i0 = jnp.clip(i0.astype(jnp.int32), 0, img.shape[0] - 2)
+    rows = (jnp.take(img, i0, axis=0) * (1.0 - t)[:, None]
+            + jnp.take(img, i0 + 1, axis=0) * t[:, None])
+    return (jnp.take(rows, i0, axis=1) * (1.0 - t)[None, :]
+            + jnp.take(rows, i0 + 1, axis=1) * t[None, :])
+
+
+def _psf_plane_fft(mean_otf_centered, cfg):
+    """Full-resolution PSF plane from the direction-averaged OTF (centred)."""
+    sys_otf = jnp.fft.fftshift(mean_otf_centered).astype(cfg.cdtype)
+    psf = jnp.fft.ifft2(sys_otf).real.astype(cfg.dtype)
+    return jnp.fft.fftshift(psf)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def psf_cube(psd, lbda_nm, cfg: GalacsiConfig):
+    """PSF cube (nl, dimpsf, dimpsf) at the MUSE sampling from the PSD cube.
+
+    ``psd``: (ndir, dim, dim) image-centred residual PSD [nm^2/freq^2]
+    (or (dim, dim) for a single direction).
+    ``lbda_nm``: (nl,) wavelengths [nm] (traced).
+    """
+    if psd.ndim == 2:
+        psd = psd[None]
+    dtype = jnp.dtype(cfg.dtype)
+    dim = cfg.dim
+
+    base = dphi_base(psd.astype(dtype), cfg)        # (ndir, dim, dim)
+    dl = pupil_otf(cfg)                             # (dim, dim)
+    npixc = lambda_crop_size(lbda_nm.astype(dtype), cfg)  # (nl,) int32
+
+    def one_lambda(args):
+        lb, npix = args
+        convnm2 = (2.0 * np.pi / lb) ** 2
+        ao = jnp.exp(-0.5 * convnm2 * base)
+        prod = ao * dl[None]                        # (ndir, dim, dim)
+        norm = prod[:, dim // 2, dim // 2]          # per-direction DC
+        mean_otf = jnp.mean(prod / norm[:, None, None], axis=0)
+        psf = _psf_plane_fft(mean_otf, cfg)
+        psf = jnp.maximum(psf, 0.0)
+        start = (dim // 2 - npix // 2).astype(dtype)
+        step = npix.astype(dtype) / cfg.dimpsf
+        out = _bilinear_regrid(psf, start, step, cfg.dimpsf)
+        return out / jnp.sum(out)
+
+    return jax.lax.map(one_lambda, (lbda_nm.astype(dtype), npixc))
