@@ -1,0 +1,514 @@
+"""Minimal self-contained FITS codec (read/write) for the PSF-reconstruction
+pipeline.
+
+The reference package leans on ``astropy.io.fits`` for its I/O contract
+(reference psfrec.py:1016-1026, 1094-1113): read a binary-table extension of
+SPARTA telemetry, write a PRIMARY + table copies + two fit tables + one
+image extension.  This module implements exactly the needed subset of the
+FITS standard (primary/image HDUs with BITPIX 8/16/32/64/-32/-64, binary
+tables with L/B/I/J/K/E/D/A columns incl. vector repeats), in pure
+NumPy/stdlib, producing standard-conformant files that astropy can read.
+
+Supported inputs: file path, binary file-like object, bytes, or an
+:class:`HDUList` (pass-through), covering every call pattern of the
+reference API and CLI.
+"""
+
+import io
+
+import numpy as np
+
+BLOCK = 2880
+
+# TFORM code <-> numpy dtype (big-endian on disk)
+_TFORM_TO_DTYPE = {
+    "L": ">i1", "B": ">u1", "I": ">i2", "J": ">i4", "K": ">i8",
+    "E": ">f4", "D": ">f8",
+}
+_KIND_TO_TFORM = {
+    ("i", 1): "B", ("u", 1): "B", ("i", 2): "I", ("i", 4): "J",
+    ("i", 8): "K", ("f", 4): "E", ("f", 8): "D", ("b", 1): "L",
+}
+_BITPIX_TO_DTYPE = {8: ">u1", 16: ">i2", 32: ">i4", 64: ">i8",
+                    -32: ">f4", -64: ">f8"}
+_DTYPE_TO_BITPIX = {"u1": 8, "i2": 16, "i4": 32, "i8": 64,
+                    "f4": -32, "f8": -64}
+
+
+class Header:
+    """Ordered, case-insensitive FITS header (keyword -> value, comment)."""
+
+    def __init__(self, cards=None):
+        self._cards = []              # list of (KEY, value, comment)
+        if cards:
+            for c in cards:
+                self.append(*c)
+
+    # -- mapping-ish API ----------------------------------------------------
+    def _find(self, key):
+        key = key.upper()
+        for i, (k, _, _) in enumerate(self._cards):
+            if k == key:
+                return i
+        return -1
+
+    def __contains__(self, key):
+        return self._find(key) >= 0
+
+    def __getitem__(self, key):
+        i = self._find(key)
+        if i < 0:
+            raise KeyError(key)
+        return self._cards[i][1]
+
+    def get(self, key, default=None):
+        i = self._find(key)
+        return self._cards[i][1] if i >= 0 else default
+
+    def __setitem__(self, key, value):
+        comment = ""
+        if isinstance(value, tuple):
+            value, comment = value
+        i = self._find(key)
+        if i >= 0:
+            self._cards[i] = (key.upper(), value, comment)
+        else:
+            self._cards.append((key.upper(), value, comment))
+
+    def append(self, key, value, comment=""):
+        self._cards.append((key.upper(), value, comment))
+
+    def remove(self, key):
+        i = self._find(key)
+        if i < 0:
+            raise KeyError(key)
+        del self._cards[i]
+
+    def items(self):
+        return [(k, v) for k, v, _ in self._cards]
+
+    def keys(self):
+        return [k for k, _, _ in self._cards]
+
+    def copy(self):
+        return Header(list(self._cards))
+
+    # -- serialisation --------------------------------------------------------
+    @staticmethod
+    def _format_value(v):
+        if isinstance(v, bool) or isinstance(v, np.bool_):
+            return "T" if v else "F"
+        if isinstance(v, str):
+            s = v.replace("'", "''")
+            return ("'%-8s'" % s) if len(s) <= 8 else "'%s'" % s
+        if isinstance(v, (int, np.integer)):
+            return "%d" % v
+        if isinstance(v, (float, np.floating)):
+            s = repr(float(v))
+            return s.upper() if "e" in s else s
+        raise TypeError("unsupported header value %r" % (v,))
+
+    def _card_image(self, key, value, comment):
+        if key in ("COMMENT", "HISTORY", ""):
+            return ("%-8s%s" % (key, value))[:80].ljust(80)
+        if len(key) > 8 or " " in key:
+            # HIERARCH convention
+            body = "HIERARCH %s = %s" % (key, self._format_value(value))
+        else:
+            val = self._format_value(value)
+            if val.startswith("'"):
+                body = "%-8s= %s" % (key, val)
+            else:
+                body = "%-8s= %20s" % (key, val)
+        if comment:
+            body += " / " + comment
+        return body[:80].ljust(80)
+
+    def tobytes(self):
+        out = [self._card_image(k, v, c) for k, v, c in self._cards]
+        out.append("END".ljust(80))
+        data = "".join(out).encode("ascii")
+        pad = (-len(data)) % BLOCK
+        return data + b" " * pad
+
+
+def _parse_header_value(raw):
+    raw = raw.strip()
+    if not raw:
+        return None
+    if raw.startswith("'"):
+        # find closing quote handling '' escapes
+        s, i = [], 1
+        while i < len(raw):
+            if raw[i] == "'":
+                if i + 1 < len(raw) and raw[i + 1] == "'":
+                    s.append("'")
+                    i += 2
+                    continue
+                break
+            s.append(raw[i])
+            i += 1
+        return "".join(s).rstrip()
+    token = raw.split("/")[0].strip()
+    if token == "T":
+        return True
+    if token == "F":
+        return False
+    try:
+        return int(token)
+    except ValueError:
+        pass
+    try:
+        return float(token.replace("D", "E").replace("d", "e"))
+    except ValueError:
+        return token
+
+
+def _read_header(stream):
+    hdr = Header()
+    while True:
+        block = stream.read(BLOCK)
+        if len(block) < BLOCK:
+            if not hdr._cards and not block:
+                return None
+            raise IOError("truncated FITS header")
+        text = block.decode("ascii", errors="replace")
+        done = False
+        for i in range(0, BLOCK, 80):
+            card = text[i:i + 80]
+            key = card[:8].strip()
+            if key == "END":
+                done = True
+                break
+            if key in ("COMMENT", "HISTORY", ""):
+                if card[8:].strip():
+                    hdr.append(key, card[8:].rstrip())
+                continue
+            if key == "HIERARCH":
+                body = card[9:]
+                eq = body.find("= ")
+                if eq < 0:
+                    continue
+                hdr.append(body[:eq].strip(),
+                           _parse_header_value(body[eq + 1:]))
+                continue
+            if card[8:10] == "= ":
+                rest = card[10:]
+                comment = ""
+                val = _parse_header_value(rest)
+                hdr.append(key, val, comment)
+        if done:
+            return hdr
+
+
+def _skip_padding(stream, nbytes):
+    stream.seek((-nbytes) % BLOCK, io.SEEK_CUR)
+
+
+class _BaseHDU:
+    name = "PRIMARY"
+
+    def copy(self):
+        import copy as _copy
+        return _copy.deepcopy(self)
+
+
+class PrimaryHDU(_BaseHDU):
+    def __init__(self, data=None, header=None):
+        self.data = data
+        self.header = header if header is not None else Header()
+        self.name = "PRIMARY"
+
+
+class ImageHDU(_BaseHDU):
+    def __init__(self, data=None, name="", header=None):
+        self.data = None if data is None else np.asarray(data)
+        self.header = header if header is not None else Header()
+        self.name = name or self.header.get("EXTNAME", "")
+
+
+class BinTableHDU(_BaseHDU):
+    """Binary table HDU holding a numpy structured array in ``.data``."""
+
+    def __init__(self, data=None, name="", header=None):
+        self.data = data
+        self.header = header if header is not None else Header()
+        self.name = name or self.header.get("EXTNAME", "")
+
+    @property
+    def columns(self):
+        return list(self.data.dtype.names)
+
+    def writeto(self, target, overwrite=True):
+        HDUList([PrimaryHDU(), self]).writeto(target, overwrite=overwrite)
+
+
+class HDUList(list):
+    """A list of HDUs with name-based indexing and ``writeto``."""
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            for hdu in self:
+                if hdu.name.upper() == key.upper():
+                    return hdu
+            raise KeyError(key)
+        return super().__getitem__(key)
+
+    def index_of(self, name):
+        for i, hdu in enumerate(self):
+            if hdu.name.upper() == name.upper():
+                return i
+        raise KeyError(name)
+
+    def writeto(self, target, overwrite=True):
+        buf = _serialize_hdulist(self)
+        if hasattr(target, "write"):
+            target.write(buf)
+        else:
+            with open(target, "wb") as fh:
+                fh.write(buf)
+
+    def close(self):
+        pass
+
+
+# ---------------------------------------------------------------------------
+# reading
+# ---------------------------------------------------------------------------
+
+def _parse_tform(tform):
+    tform = tform.strip()
+    i = 0
+    while i < len(tform) and tform[i].isdigit():
+        i += 1
+    repeat = int(tform[:i]) if i else 1
+    code = tform[i]
+    if code == "A":
+        return repeat, code, np.dtype("S%d" % repeat)
+    if code not in _TFORM_TO_DTYPE:
+        raise NotImplementedError("TFORM code %r not supported" % code)
+    base = np.dtype(_TFORM_TO_DTYPE[code])
+    return repeat, code, base
+
+
+def _read_bintable(stream, hdr):
+    nrows = int(hdr["NAXIS2"])
+    rowlen = int(hdr["NAXIS1"])
+    tfields = int(hdr["TFIELDS"])
+    names, formats = [], []
+    for k in range(1, tfields + 1):
+        names.append(str(hdr.get("TTYPE%d" % k, "col%d" % k)).strip())
+        formats.append(str(hdr["TFORM%d" % k]).strip())
+    dt = []
+    for nm, tf in zip(names, formats):
+        repeat, code, base = _parse_tform(tf)
+        if code == "A":
+            dt.append((nm, base))
+        elif repeat == 1:
+            dt.append((nm, base))
+        else:
+            dt.append((nm, base, (repeat,)))
+    dtype = np.dtype(dt)
+    if dtype.itemsize != rowlen:
+        raise IOError("row size mismatch: %d vs NAXIS1=%d"
+                      % (dtype.itemsize, rowlen))
+    nbytes = nrows * rowlen + int(hdr.get("PCOUNT", 0))
+    raw = stream.read(nrows * rowlen)
+    stream.seek(int(hdr.get("PCOUNT", 0)), io.SEEK_CUR)
+    _skip_padding(stream, nbytes)
+    data = np.frombuffer(raw, dtype=dtype, count=nrows)
+    return data.astype(dtype.newbyteorder("="))  # native byte order copy
+
+
+def _read_image(stream, hdr):
+    bitpix = int(hdr["BITPIX"])
+    naxis = int(hdr["NAXIS"])
+    if naxis == 0:
+        return None
+    shape = tuple(int(hdr["NAXIS%d" % k]) for k in range(naxis, 0, -1))
+    count = int(np.prod(shape))
+    dt = np.dtype(_BITPIX_TO_DTYPE[bitpix])
+    nbytes = count * dt.itemsize
+    raw = stream.read(nbytes)
+    _skip_padding(stream, nbytes)
+    data = np.frombuffer(raw, dtype=dt, count=count).reshape(shape)
+    data = data.astype(dt.newbyteorder("="))
+    bscale = hdr.get("BSCALE", 1)
+    bzero = hdr.get("BZERO", 0)
+    if bscale != 1 or bzero != 0:
+        data = data * bscale + bzero
+    return data
+
+
+def fits_open(source):
+    """Open a FITS file (path, bytes, file-like, or HDUList pass-through)."""
+    if isinstance(source, HDUList):
+        return source
+    if isinstance(source, (bytes, bytearray)):
+        stream = io.BytesIO(source)
+    elif hasattr(source, "read"):
+        stream = source
+    else:
+        stream = open(source, "rb")
+    try:
+        hdus = HDUList()
+        first = True
+        while True:
+            hdr = _read_header(stream)
+            if hdr is None:
+                break
+            if first:
+                data = _read_image(stream, hdr)
+                hdus.append(PrimaryHDU(data=data, header=hdr))
+                first = False
+                continue
+            xt = str(hdr.get("XTENSION", "IMAGE")).strip().upper()
+            if xt == "BINTABLE":
+                data = _read_bintable(stream, hdr)
+                hdus.append(BinTableHDU(data=data, header=hdr))
+            elif xt == "IMAGE":
+                data = _read_image(stream, hdr)
+                hdus.append(ImageHDU(data=data, header=hdr))
+            else:
+                raise NotImplementedError("XTENSION %r not supported" % xt)
+        return hdus
+    finally:
+        if not hasattr(source, "read") and not isinstance(
+                source, (bytes, bytearray, HDUList)):
+            stream.close()
+
+
+def fits_getheader(source, ext=0):
+    hdul = fits_open(source)
+    return hdul[ext].header
+
+
+def fits_getdata(source, extname=None):
+    hdul = fits_open(source)
+    return hdul[extname if extname is not None else 1].data
+
+
+# ---------------------------------------------------------------------------
+# writing
+# ---------------------------------------------------------------------------
+
+def _image_header(data, primary, extra=None, name=""):
+    h = Header()
+    dt = data.dtype if data is not None else None
+    if primary:
+        h.append("SIMPLE", True, "conforms to FITS standard")
+    else:
+        h.append("XTENSION", "IMAGE", "Image extension")
+    key = None if data is None else dt.kind + str(dt.itemsize)
+    h.append("BITPIX", _DTYPE_TO_BITPIX.get(key, 8), "array data type")
+    h.append("NAXIS", 0 if data is None else data.ndim,
+             "number of array dimensions")
+    if data is not None:
+        for k, n in enumerate(reversed(data.shape), start=1):
+            h.append("NAXIS%d" % k, int(n))
+    if primary:
+        h.append("EXTEND", True)
+    else:
+        h.append("PCOUNT", 0, "number of parameters")
+        h.append("GCOUNT", 1, "number of groups")
+        if name:
+            h.append("EXTNAME", name, "extension name")
+    if extra is not None:
+        for k, v in extra.items():
+            if k.upper() in ("SIMPLE", "XTENSION", "BITPIX", "NAXIS",
+                             "EXTEND", "PCOUNT", "GCOUNT") or \
+                    k.upper().startswith("NAXIS"):
+                continue
+            h[k] = v
+    return h
+
+
+def _column_tform(dtype, shape):
+    key = (dtype.kind, dtype.itemsize)
+    if dtype.kind == "S":
+        return "%dA" % dtype.itemsize
+    if key not in _KIND_TO_TFORM:
+        raise TypeError("unsupported column dtype %r" % (dtype,))
+    code = _KIND_TO_TFORM[key]
+    repeat = int(np.prod(shape)) if shape else 1
+    return ("%d%s" % (repeat, code)) if repeat != 1 else code
+
+
+def _bintable_bytes(hdu):
+    data = hdu.data
+    names = data.dtype.names
+    # big-endian on-disk dtype
+    fields = []
+    for nm in names:
+        ft, shape = data.dtype.fields[nm][0], ()
+        if ft.subdtype is not None:
+            base, shape = ft.subdtype
+        else:
+            base = ft
+        be = base.newbyteorder(">")
+        fields.append((nm, be, shape) if shape else (nm, be))
+    disk_dtype = np.dtype(fields)
+    disk = np.empty(len(data), dtype=disk_dtype)
+    for nm in names:
+        disk[nm] = data[nm]
+
+    h = Header()
+    h.append("XTENSION", "BINTABLE", "binary table extension")
+    h.append("BITPIX", 8, "array data type")
+    h.append("NAXIS", 2, "number of array dimensions")
+    h.append("NAXIS1", disk_dtype.itemsize, "length of dimension 1")
+    h.append("NAXIS2", len(data), "length of dimension 2")
+    h.append("PCOUNT", 0, "number of group parameters")
+    h.append("GCOUNT", 1, "number of groups")
+    h.append("TFIELDS", len(names), "number of table fields")
+    for k, nm in enumerate(names, start=1):
+        ft = data.dtype.fields[nm][0]
+        if ft.subdtype is not None:
+            base, shape = ft.subdtype
+        else:
+            base, shape = ft, ()
+        h.append("TTYPE%d" % k, nm)
+        h.append("TFORM%d" % k, _column_tform(base, shape))
+    if hdu.name:
+        h.append("EXTNAME", hdu.name, "extension name")
+    for key, val in hdu.header.items():
+        if key in ("XTENSION", "BITPIX", "NAXIS", "NAXIS1", "NAXIS2",
+                   "PCOUNT", "GCOUNT", "TFIELDS", "EXTNAME") or \
+                key.startswith(("TTYPE", "TFORM", "TDIM")):
+            continue
+        h[key] = val
+
+    raw = disk.tobytes()
+    pad = (-len(raw)) % BLOCK
+    return h.tobytes() + raw + b"\x00" * pad
+
+
+def _image_bytes(hdu, primary):
+    data = hdu.data
+    if data is not None:
+        data = np.asarray(data)
+        if data.dtype.kind == "f" and data.dtype.itemsize not in (4, 8):
+            data = data.astype("f8")
+        if data.dtype.kind == "b":
+            data = data.astype("u1")
+    extra = dict(hdu.header.items()) if hdu.header is not None else None
+    h = _image_header(data, primary, extra=extra,
+                      name=getattr(hdu, "name", ""))
+    out = h.tobytes()
+    if data is not None:
+        raw = data.astype(data.dtype.newbyteorder(">")).tobytes()
+        pad = (-len(raw)) % BLOCK
+        out += raw + b"\x00" * pad
+    return out
+
+
+def _serialize_hdulist(hdus):
+    out = b""
+    for i, hdu in enumerate(hdus):
+        if isinstance(hdu, BinTableHDU):
+            if i == 0:
+                out += _image_bytes(PrimaryHDU(), primary=True)
+            out += _bintable_bytes(hdu)
+        else:
+            out += _image_bytes(hdu, primary=(i == 0))
+    return out

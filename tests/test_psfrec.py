@@ -1,0 +1,186 @@
+"""End-to-end golden tests, ported from the reference's test strategy
+(reference muse_psfr/test_psfrec.py): fixed synthetic SPARTA telemetry in,
+pinned Moffat FWHM/beta values and FITS/log contracts out.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from muse_psfr_tpu import (
+    compute_psf_from_sparta,
+    create_sparta_table,
+    fit_psf_with_polynom,
+    plot_psf,
+    fits_open,
+    HDUList,
+    FitTable,
+)
+from muse_psfr_tpu.cli import main
+
+
+def test_reconstruction(tmp_path):
+    tbl = create_sparta_table()
+    hdul = HDUList([tbl])
+
+    res = compute_psf_from_sparta(hdul, npsflin=3, lmin=490, lmax=541.76,
+                                  nl=5)
+    assert len(res) == 5
+    fit = FitTable.from_hdu(res["FIT_ROWS"])
+    assert_allclose(fit["L0"], 25)
+    assert_allclose(fit["center"], 20, atol=1e-4)
+    assert_allclose(fit["lbda"][1], 502.9, atol=1e-1)
+    assert_allclose(fit["fwhm"][1], 0.85, atol=1e-2)
+
+
+def test_fit_poly(tmp_path):
+    tbl = create_sparta_table()
+    hdul = HDUList([tbl])
+    res = compute_psf_from_sparta(hdul, lmin=500, lmax=900, nl=9)
+    fit = FitTable.from_hdu(res["FIT_ROWS"])
+    res = fit_psf_with_polynom(fit["lbda"], fit["fwhm"][:, 0], fit["n"],
+                               deg=(5, 5), output=1)
+    assert_allclose(res["fwhm_pol"][0], 0.65, atol=1e-2)
+    assert_allclose(res["beta_pol"][0], 0.78, atol=1e-2)
+    # fit[1] at 550nm matches roughly res[8] (550.1)
+    assert_allclose(res["beta_fit"][8], fit["n"][1], atol=1e-2)
+    assert_allclose(res["fwhm_fit"][8], fit["fwhm"][1][0], atol=1e-2)
+
+
+def test_reconstruction2(tmp_path):
+    tbl = create_sparta_table()
+    tbl.data["LGS1_L0"][0] = 20
+    tbl.data["LGS1_SEEING"][0] = 0.8
+    tbl.data["LGS1_TUR_GND"][0] = 0.5
+    tbl.data["LGS3_L0"][0] = 100          # bad value for the 3rd laser
+    hdul = HDUList([tbl])
+
+    res = compute_psf_from_sparta(hdul, npsflin=3, lmin=500, lmax=700,
+                                  nl=3, mean_of_lgs=False)
+    assert len(res) == 5
+    fit = FitTable.from_hdu(res["FIT_ROWS"])
+    assert_allclose(fit["L0"][fit["lgs_idx"] == 1], 20)
+    assert_allclose(fit["L0"][fit["lgs_idx"] != 1], 25)
+
+    assert_allclose(fit["center"], 20, atol=1e-4)
+    assert_allclose(fit["fwhm"][fit["lbda"] == 500][:, 0],
+                    [0.79, 0.86, 0.86], atol=1e-2)
+
+
+def test_bad_l0(tmp_path, caplog):
+    testfile = str(tmp_path / "sparta.fits")
+    create_sparta_table(outfile=testfile, bad_l0=True)
+
+    res = compute_psf_from_sparta(testfile, lmin=490, lmax=541.76, nl=5)
+
+    assert (caplog.records[1].message ==
+            "1/1 : Using only 3 values out of 4 after outliers rejection")
+    assert caplog.records[3].message == "Using three lasers mode"
+
+    assert len(res) == 5
+    fit = FitTable.from_hdu(res["FIT_ROWS"])
+    assert_allclose(fit["L0"], 25)
+    assert_allclose(fit["center"], 20, atol=1e-4)
+    assert_allclose(fit["lbda"][1], 502.9, atol=1e-1)
+    assert_allclose(fit["fwhm"][1], 0.86, atol=1e-2)
+
+
+def test_bad_l0_invalid(tmp_path, caplog):
+    testfile = str(tmp_path / "sparta.fits")
+    create_sparta_table(outfile=testfile, L0=1000)
+    compute_psf_from_sparta(testfile)
+
+    assert caplog.records[1].message == \
+        "1/1 : No valid values, skipping this row"
+    assert caplog.records[2].message == "No valid values"
+
+
+def test_script(tmp_path, caplog):
+    with pytest.raises(SystemExit, match="no input file provided"):
+        main([])
+
+    with pytest.raises(SystemExit, match="--values must contain a list.*"):
+        main(["--values", "0.1,0.2"])
+
+    with pytest.raises(SystemExit, match="No results"):
+        main(["--values", "1,0.7,1000"])
+
+    # without colors, with values and logfile
+    caplog.clear()
+    logfile = str(tmp_path / "muse-psfr2.log")
+    main(["--no-color", "--values", "1,0.7,25", "--logfile", logfile])
+
+    with open(logfile) as f:
+        lines = f.read().splitlines()
+
+    assert lines[2:] == [
+        "-" * 68,
+        "Sparta Seeing: 1.00 arcsec GL: 0.70 L0:25.00 m",
+        "LBDA 5000 7000 9000",
+        "FWHM 0.85 0.73 0.62",
+        "BETA 2.73 2.55 2.23",
+        "-" * 68,
+    ]
+    records = [r for r in caplog.records if r.levelname != "DEBUG"]
+    assert records[6].message == "LBDA 5000 7000 9000"
+    assert records[7].message == "FWHM 0.85 0.73 0.62"
+    assert records[8].message == "BETA 2.73 2.55 2.23"
+
+    # with colors and values
+    caplog.clear()
+    main(["--values", "1,0.7,25", "--logfile", str(tmp_path / "c.log")])
+    records = [r for r in caplog.records if r.levelname != "DEBUG"]
+    assert "LBDA" in records[6].message
+    assert "FWHM" in records[7].message
+    assert "BETA" in records[8].message
+    assert "7000" in records[6].message
+    assert "0.73" in records[7].message
+    assert "2.55" in records[8].message
+
+
+def test_script_with_file(tmp_path):
+    testfile = str(tmp_path / "sparta.fits")
+    create_sparta_table(outfile=testfile)
+
+    logfile = str(tmp_path / "muse_psfr.log")
+    outfile = str(tmp_path / "out.fits")
+    main([testfile, "--no-color", "--logfile", logfile,
+          "--outfile", outfile])
+
+    with open(outfile, "rb") as fh:
+        hdul = fits_open(fh.read())
+    assert [hdu.name for hdu in hdul] == [
+        "PRIMARY", "SPARTA_ATM_DATA", "FIT_ROWS", "FIT_MEAN", "PSF_MEAN"]
+
+    with open(logfile) as f:
+        lines = f.read().splitlines()
+
+    assert lines[2:] == [
+        "OB None None Airmass 0.00-0.00",
+        "-" * 68,
+        "Sparta Seeing: 1.00 arcsec GL: 0.70 L0:25.00 m",
+        "LBDA 5000 7000 9000",
+        "FWHM 0.85 0.73 0.62",
+        "BETA 2.73 2.55 2.23",
+        "-" * 68,
+    ]
+
+
+def test_plot(tmp_path):
+    import matplotlib
+    matplotlib.use("agg", force=True)
+
+    testfile = str(tmp_path / "sparta.fits")
+    create_sparta_table(outfile=testfile, nlines=2)
+
+    res = compute_psf_from_sparta(testfile)
+    outfile = str(tmp_path / "fitres.fits")
+    res.writeto(outfile, overwrite=True)
+
+    fig = plot_psf(res)
+    fig.savefig(str(tmp_path / "fig.png"))
+
+    fig = plot_psf(outfile)
+    fig.savefig(str(tmp_path / "fig.png"))

@@ -1,0 +1,81 @@
+"""Unit tests pinning the reference's IDL-inherited quirks, each validated
+against a literal NumPy transcription of the original expression."""
+
+import numpy as np
+import jax.numpy as jnp
+from numpy.testing import assert_allclose
+
+from muse_psfr_tpu.core.grids import fft_freq_polar, pupil_mask
+from muse_psfr_tpu.core.moffat import moffat_kernel
+from muse_psfr_tpu.otf.psf import lambda_crop_size
+from muse_psfr_tpu.psd.model import wfs_transfer
+from muse_psfr_tpu.config import GalacsiConfig
+
+
+def test_arctan_polar_decomposition():
+    """f_x = |fx|, f_y = sign(fx)*fy — the arctan (not arctan2) quirk."""
+    n, step = 16, 0.2
+    f, f_x, f_y = fft_freq_polar(n, step, jnp.float64)
+    fx = np.fft.fftfreq(n, step)[:, None]
+    fy = fx.T
+    # literal reference expression (psfrec.py:548-554)
+    with np.errstate(all="ignore"):
+        arg = fy / fx
+    arg[0, 0] = 0
+    arg = np.arctan(arg)
+    fr = np.hypot(fx, fy)
+    assert_allclose(np.asarray(f_x), fr * np.cos(arg), atol=1e-15)
+    assert_allclose(np.asarray(f_y), fr * np.sin(arg), atol=1e-15)
+
+
+def test_wfs_mask_precedence_and_strictness():
+    """Mask is ((f!=0) & (|fx| >= fc)) | (|fy| >= fc); '>' in the residual
+    model vs '>=' in the reconstructor differs exactly at |f| = fc."""
+    n, step = 80, 0.2
+    f, f_x, f_y = fft_freq_polar(n, step, jnp.float64)
+    pitch = 8.0 / 24.0
+    fc = 1.0 / (2 * pitch)
+    w_ge = np.asarray(wfs_transfer(f, f_x, f_y, pitch, False, jnp.complex128))
+    w_gt = np.asarray(wfs_transfer(f, f_x, f_y, pitch, True, jnp.complex128))
+
+    # literal reference expression (psfrec.py:252-257)
+    fxn, fyn = np.asarray(f_x), np.asarray(f_y)
+    fn = np.asarray(f)
+    ref = (2 * np.pi * 1j * fn * np.sinc(pitch * fxn) * np.sinc(pitch * fyn))
+    ref_ge = ref.copy()
+    ref_ge[(fn != 0) & (np.abs(fxn) >= fc) | (np.abs(fyn) >= fc)] = 0
+    ref_gt = ref.copy()
+    ref_gt[(fn != 0) & (np.abs(fxn) > fc) | (np.abs(fyn) > fc)] = 0
+    assert_allclose(w_ge, ref_ge, atol=1e-15)
+    assert_allclose(w_gt, ref_gt, atol=1e-15)
+    # the cutoff frequency lies exactly on the grid -> they must differ
+    assert np.any(ref_ge != ref_gt)
+
+
+def test_lambda_crop_uses_bankers_rounding():
+    cfg = GalacsiConfig()
+    lb = jnp.array([490.0, 500.0, 900.0])
+    got = np.asarray(lambda_crop_size(lb, cfg))
+    ref = (np.round((40 * 0.2 * 2 * 8 * 4.85 * 1000 /
+                     np.array([490.0, 500.0, 900.0])) / 2) * 2).astype(int)
+    assert_allclose(got, ref)
+
+
+def test_pupil_mask_against_reference_expression():
+    for radius, width, oc, inv in [(320, 640, 0.14, False), (5, 80, 0, True)]:
+        got = np.asarray(pupil_mask(radius, width, oc, inv, jnp.float64))
+        c = (width - 1) / 2
+        x, y = np.ogrid[:width, :width]
+        rho = np.hypot(x - c, y - c) / radius
+        m = (rho < 1) & (rho >= oc)
+        if inv:
+            m = ~m
+        assert_allclose(got, m.astype(int))
+
+
+def test_moffat_kernel_is_unnormalised_analytic():
+    k = np.asarray(moffat_kernel(3.0, 2.0, 41, jnp.float64))
+    c = 20
+    assert_allclose(k[c, c], (2 - 1) / (np.pi * 9.0), rtol=1e-12)
+    assert k.sum() < 1.0  # truncated tails, no renormalisation
+    assert_allclose(k, k.T)
