@@ -1,0 +1,119 @@
+"""Headline benchmark: SPARTA rows/sec for the full-night workload.
+
+Workload (BASELINE.json): ~100 telemetry rows x 35 MUSE wavelengths, 4 LGS,
+full reconstruction (residual-PSD model -> OTF/PSF chain -> tip-tilt +
+instrument convolution) plus the per-wavelength circular Moffat fit, on one
+chip.  Accuracy is tracked as the rms of the pinned-condition row against
+the committed float64 oracle PSF cube.
+
+Baseline: the reference implementation cannot run here (mpdaf/astropy are
+not installed), so the float64 NumPy oracle — verified to <1e-8 against the
+reference and following its per-(row, lambda) FFT structure — is timed as
+the reference-cost proxy, scaled by the host core count (the reference
+parallelises rows across cores with joblib).  The measurement is cached in
+``benchmarks/baseline_cache.json``.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_ROWS = int(os.environ.get("BENCH_ROWS", "100"))
+NL = 35
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "benchmarks", "baseline_cache.json")
+
+
+def measure_baseline():
+    """Reference-cost proxy: float64 oracle, one row x 35 lambda."""
+    if os.path.exists(CACHE):
+        with open(CACHE) as fh:
+            return json.load(fh)
+    from benchmarks.oracle_numpy import compute_psf_oracle
+    lbda = np.linspace(490, 930, NL)
+    t0 = time.perf_counter()
+    compute_psf_oracle(lbda, 1.0, 0.7, 25.0)
+    t_row = time.perf_counter() - t0
+    ncpu = os.cpu_count() or 1
+    info = {"t_row_s": t_row, "ncpu": ncpu,
+            "rows_per_sec": ncpu / t_row}
+    os.makedirs(os.path.dirname(CACHE), exist_ok=True)
+    with open(CACHE, "w") as fh:
+        json.dump(info, fh)
+    return info
+
+
+def build_rows(n):
+    """Realistic full-night telemetry: row 0 pinned to the golden
+    condition, the rest spread over observed ranges, ~10% in 3-laser mode.
+    """
+    rng = np.random.default_rng(20260816)
+    seeing = rng.uniform(0.6, 1.6, n)
+    GL = rng.uniform(0.3, 0.9, n)
+    L0 = rng.uniform(9.0, 29.0, n)
+    mask = np.ones((n, 4))
+    mask[rng.random(n) < 0.1, 3] = 0.0
+    seeing[0], GL[0], L0[0] = 1.0, 0.7, 25.0
+    mask[0] = 1.0
+    return seeing, GL, L0, mask
+
+
+def main():
+    baseline = measure_baseline()
+
+    import jax
+    from muse_psfr_tpu.config import GalacsiConfig
+    from muse_psfr_tpu.parallel.batch import reconstruct_batch
+    from muse_psfr_tpu.fit.moffat_fit import fit_moffat_cube
+
+    cfg = GalacsiConfig()
+    lbda = np.linspace(490, 930, NL)
+    seeing, GL, L0, mask = build_rows(N_ROWS)
+    chunk = int(os.environ.get("BENCH_CHUNK", "10"))
+
+    def run(n):
+        psf = reconstruct_batch(seeing[:n], GL[:n], L0[:n], mask[:n], lbda,
+                                npsflin=1, cfg=cfg, chunk=chunk)
+        fit = fit_moffat_cube(psf, dtype=cfg.fit_dtype)
+        jax.block_until_ready(fit["fwhm"])
+        return psf, fit
+
+    # warmup / compile at the steady-state chunk shape
+    run(min(chunk, N_ROWS))
+
+    t0 = time.perf_counter()
+    psf, fit = run(N_ROWS)
+    elapsed = time.perf_counter() - t0
+    rows_per_sec = N_ROWS / elapsed
+
+    # accuracy vs the committed float64 oracle golden (pinned row 0)
+    golden = np.load(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "data", "golden_psf_35l_s1.0_gl0.7_l025.npy"))
+    rms = float(np.sqrt(np.mean((psf[0].astype(np.float64) - golden) ** 2)))
+
+    print(json.dumps({
+        "metric": "sparta_rows_per_sec",
+        "value": round(rows_per_sec, 3),
+        "unit": "rows/s",
+        "vs_baseline": round(rows_per_sec / baseline["rows_per_sec"], 1),
+        "rows": N_ROWS,
+        "nl": NL,
+        "elapsed_s": round(elapsed, 3),
+        "rms_vs_f64_oracle": rms,
+        "baseline_rows_per_sec": round(baseline["rows_per_sec"], 4),
+        "device": str(jax.devices()[0]),
+        "dtype": cfg.dtype,
+    }))
+
+
+if __name__ == "__main__":
+    main()
