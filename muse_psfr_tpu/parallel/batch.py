@@ -49,18 +49,16 @@ def default_mesh():
     return Mesh(devs, axis_names=("rows",))
 
 
-def reconstruct_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
-                      npsflin: int = 1, cfg: GalacsiConfig = None,
-                      chunk: int = 8, mesh: Mesh = None):
-    """Reconstruct PSF cubes for a batch of work items.
-
-    Parameters are (B,)-shaped arrays (``gs_mask``: (B, 4) float validity
-    mask).  Returns a (B, nl, dimpsf, dimpsf) numpy array.
+def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
+                npsflin: int = 1, cfg: GalacsiConfig = None,
+                chunk: int = 8, mesh: Mesh = None):
+    """Yield (n_valid, psf_chunk device array) over padded chunks.
 
     ``chunk`` bounds the per-step working set (each item holds an
     (ndir, dim, dim) PSD cube on device).  With ``mesh``, each chunk's
     batch axis is sharded across the mesh's devices; ``chunk`` is rounded
     up to a multiple of the mesh size and the batch padded accordingly.
+    All chunks are dispatched with identical shapes (one compilation).
     """
     from ..psd.model import effective_wind_speed
     cfg = cfg or GalacsiConfig()
@@ -74,22 +72,20 @@ def reconstruct_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     B = seeing.shape[0]
 
     n_dev = 1 if mesh is None else mesh.size
-    chunk = max(chunk, n_dev)
+    chunk = max(min(chunk, B), n_dev)
     chunk = ((chunk + n_dev - 1) // n_dev) * n_dev
 
     sharding = None
     if mesh is not None:
         sharding = NamedSharding(mesh, P("rows"))
 
-    outs = []
     for lo in range(0, B, chunk):
         hi = min(lo + chunk, B)
         n = hi - lo
-        pad = (-n) % n_dev
-        idx = slice(lo, hi)
+        pad = chunk - n
 
         def prep(a):
-            a = a[idx]
+            a = a[lo:hi]
             if pad:
                 a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], 0)
             ja = jnp.asarray(a, cfg.dtype)
@@ -100,5 +96,54 @@ def reconstruct_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
         res = _reconstruct_vmapped(prep(seeing), prep(GL), prep(L0),
                                    prep(gs_mask), lbda, h_arr,
                                    wind_speed, npsflin, cfg)
-        outs.append(np.asarray(res)[:n])
+        yield n, res
+
+
+def reconstruct_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
+                      npsflin: int = 1, cfg: GalacsiConfig = None,
+                      chunk: int = 8, mesh: Mesh = None):
+    """Reconstruct PSF cubes for a batch of work items.
+
+    Parameters are (B,)-shaped arrays (``gs_mask``: (B, 4) float validity
+    mask).  Returns a (B, nl, dimpsf, dimpsf) numpy array.  Note: this
+    pulls every PSF to the host; for fit-oriented workflows prefer
+    :func:`process_batch`, which keeps the cubes on device.
+    """
+    outs = [np.asarray(res)[:n] for n, res in
+            _run_chunks(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
+                        chunk, mesh)]
     return np.concatenate(outs, axis=0)
+
+
+def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
+                  npsflin: int = 1, cfg: GalacsiConfig = None,
+                  chunk: int = 8, mesh: Mesh = None,
+                  fit_dtype: str = None):
+    """Full device-resident batch: reconstruct, Moffat-fit, and average.
+
+    Returns ``(fit_packed, psf_mean, fit_mean_packed)`` — device arrays:
+    per-item per-wavelength packed Moffat parameters (B, nl, N_PACKED)
+    (see :data:`muse_psfr_tpu.fit.moffat_fit.PACKED_FIELDS`), the
+    (nl, dimpsf, dimpsf) mean PSF cube, and its packed fit.  Only these
+    small arrays ever cross the device->host link (which is slow on
+    tunneled TPUs); the (B, nl, dimpsf, dimpsf) PSF cubes never leave the
+    device.  Unpack with :func:`muse_psfr_tpu.fit.moffat_fit.unpack_fit`.
+    """
+    from ..fit.moffat_fit import fit_moffat_cube_packed
+    cfg = cfg or GalacsiConfig()
+    fit_dtype = fit_dtype or cfg.fit_dtype
+
+    fits = []
+    total = None
+    count = 0
+    for n, psf in _run_chunks(seeing, GL, L0, gs_mask, lbda, h, npsflin,
+                              cfg, chunk, mesh):
+        fits.append(fit_moffat_cube_packed(psf, dtype=fit_dtype)[:n])
+        s = jnp.sum(psf[:n], axis=0)
+        total = s if total is None else total + s
+        count += n
+
+    fit = jnp.concatenate(fits, axis=0) if len(fits) > 1 else fits[0]
+    psf_mean = total / count
+    fit_mean = fit_moffat_cube_packed(psf_mean, dtype=fit_dtype)
+    return fit, psf_mean, fit_mean
