@@ -49,6 +49,12 @@ class GalacsiConfig:
     dtype: str = "float32"     # compute dtype for the heavy stages
     fit_dtype: str = "float32" # dtype of the Moffat LM solve
     use_zoom_dft: bool = True  # zoom-DFT (MXU matmuls) instead of full IFFT
+    use_pallas: bool = False   # fused exp+matmul Pallas kernel (TPU only,
+                               # float32, single-direction).  Measured
+                               # slightly slower than the XLA zoom path in
+                               # the full pipeline (90 vs 99 rows/s on
+                               # v5e) — XLA's own fusion/pipelining wins
+                               # here; kept as an alternative backend.
 
     # --- derived ------------------------------------------------------------
     @property

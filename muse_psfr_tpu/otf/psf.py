@@ -130,6 +130,34 @@ def _zoom_dft_matrices(idx, dim: int, dtype):
     return jnp.cos(ang) / dim, jnp.sin(ang) / dim
 
 
+def _combine_bilinear(p, t, nout: int):
+    """(2*nout, 2*nout) PSF node values -> (nout, nout) bilinear samples."""
+    w0 = (1.0 - t)
+    return (w0[:, None] * w0[None, :] * p[:nout, :nout]
+            + w0[:, None] * t[None, :] * p[:nout, nout:]
+            + t[:, None] * w0[None, :] * p[nout:, :nout]
+            + t[:, None] * t[None, :] * p[nout:, nout:])
+
+
+def _psf_samples_zoom_pallas(dphi, dl, alpha, i0, t, nout: int, cfg):
+    """Pallas-fused variant of the zoom sampling for one direction:
+    the system OTF ``exp(alpha*Dphi)*dl/norm`` is built tile-by-tile in
+    VMEM and contracted on the MXU without ever hitting HBM."""
+    from ..ops.zoom_dft import fused_exp_zoom
+    dtype = jnp.dtype(cfg.dtype)
+    dim = cfg.dim
+    idx = jnp.concatenate([i0, i0 + 1])
+    ar, ai = _zoom_dft_matrices(idx, dim, dtype)
+    c = dim // 2
+    norm = jnp.exp(alpha * dphi[c, c]) * dl[c, c]
+    a2 = jnp.concatenate([ar, ai], axis=0)
+    u = fused_exp_zoom(dphi, dl, a2, alpha, 1.0 / norm)
+    m = 2 * nout
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    p = mm(u[:m], ar.T) - mm(u[m:], ai.T)
+    return _combine_bilinear(jnp.maximum(p, 0.0), t, nout)
+
+
 def _psf_samples_zoom(mean_otf_centered, i0, t, nout: int, cfg):
     """PSF bilinear samples out[i,j] = bilinear(psf, (pos_i, pos_j)) with
     pos = i0 + t, computed by zoom DFT without materialising the PSF.
@@ -150,16 +178,7 @@ def _psf_samples_zoom(mean_otf_centered, i0, t, nout: int, cfg):
     u_r = mm(ar, g)                                     # (2*nout, N)
     u_i = mm(ai, g)
     p = mm(u_r, ar.T) - mm(u_i, ai.T)                   # (2*nout, 2*nout)
-    p = jnp.maximum(p, 0.0)
-    w0 = (1.0 - t)
-    p00 = p[:nout, :nout]
-    p01 = p[:nout, nout:]
-    p10 = p[nout:, :nout]
-    p11 = p[nout:, nout:]
-    return (w0[:, None] * w0[None, :] * p00
-            + w0[:, None] * t[None, :] * p01
-            + t[:, None] * w0[None, :] * p10
-            + t[:, None] * t[None, :] * p11)
+    return _combine_bilinear(jnp.maximum(p, 0.0), t, nout)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -179,20 +198,31 @@ def psf_cube(psd, lbda_nm, cfg: GalacsiConfig):
     dl = pupil_otf(cfg)                             # (dim, dim)
     npixc = lambda_crop_size(lbda_nm.astype(dtype), cfg)  # (nl,) int32
 
+    ndir = psd.shape[0]
+    pallas_ok = (cfg.use_pallas and cfg.use_zoom_dft and ndir == 1
+                 and cfg.dtype == "float32" and cfg.dim % 256 == 0
+                 and jax.default_backend() not in ("cpu",))
+
     def one_lambda(args):
         lb, npix = args
         convnm2 = (2.0 * np.pi / lb) ** 2
+        start = (dim // 2 - npix // 2).astype(dtype)
+        step = npix.astype(dtype) / cfg.dimpsf
+        pos = start + jnp.arange(cfg.dimpsf, dtype=dtype) * step
+        i0f = jnp.floor(pos)
+        t = (pos - i0f).astype(dtype)
+        i0 = jnp.clip(i0f.astype(jnp.int32), 0, dim - 2)
+
+        if pallas_ok:
+            out = _psf_samples_zoom_pallas(base[0], dl, -0.5 * convnm2,
+                                           i0, t, cfg.dimpsf, cfg)
+            return out / jnp.sum(out)
+
         ao = jnp.exp(-0.5 * convnm2 * base)
         prod = ao * dl[None]                        # (ndir, dim, dim)
         norm = prod[:, dim // 2, dim // 2]          # per-direction DC
         mean_otf = jnp.mean(prod / norm[:, None, None], axis=0)
-        start = (dim // 2 - npix // 2).astype(dtype)
-        step = npix.astype(dtype) / cfg.dimpsf
         if cfg.use_zoom_dft:
-            pos = start + jnp.arange(cfg.dimpsf, dtype=dtype) * step
-            i0f = jnp.floor(pos)
-            t = (pos - i0f).astype(dtype)
-            i0 = jnp.clip(i0f.astype(jnp.int32), 0, dim - 2)
             out = _psf_samples_zoom(mean_otf, i0, t, cfg.dimpsf, cfg)
         else:
             psf = _psf_plane_fft(mean_otf, cfg)
