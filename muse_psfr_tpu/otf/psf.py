@@ -40,6 +40,9 @@ import jax.numpy as jnp
 
 from ..config import GalacsiConfig
 from ..core.grids import pupil_mask
+from ..utils.log import get_logger
+
+logger = get_logger("otf")
 
 
 def pupil_otf(cfg: GalacsiConfig):
@@ -179,6 +182,76 @@ def _psf_samples_zoom(mean_otf_centered, i0, t, nout: int, cfg):
     u_i = mm(ai, g)
     p = mm(u_r, ar.T) - mm(u_i, ai.T)                   # (2*nout, 2*nout)
     return _combine_bilinear(jnp.maximum(p, 0.0), t, nout)
+
+
+def psd_to_psf(psd, pup, D, lbda, phase_static=None, samp=None, FoV=None,
+               return_all=False, dtype=jnp.float64):
+    """General long-exposure PSF from one residual PSD [nm^2] and a pupil.
+
+    Standalone equivalent of the reference ``psd_to_psf``
+    (psfrec.py:689-807) for single transforms (the batched pipeline uses
+    :func:`psf_cube`): supports sub-Nyquist output sampling (central crop
+    of the structure function), an optional static pupil phase [nm], and
+    ``return_all`` -> (psf, sampout, FoV).  ``lbda`` in metres.
+
+    The reference's oversampling branches are unreachable in its shipped
+    pipeline and *crash* when forced (``np.zeros(dimnum, dimnum)`` at
+    psfrec.py:738 is a TypeError; cubic ``interpolate`` raises
+    NotImplementedError at psfrec.py:640); they are rejected explicitly
+    here with the matching exception.
+    """
+    psd = jnp.asarray(psd, dtype)
+    pup = jnp.asarray(pup, dtype)
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    dim = psd.shape[0]
+    npup = pup.shape[0]
+    sampnum = dim / npup
+    L = D * sampnum
+    if dim < 2 * npup:
+        logger.info("the PSD horizon must be at least two time larger than "
+                    "the pupil diameter")
+
+    convnm = 2 * np.pi / (lbda * 1e9)
+    bg = jnp.fft.ifft2(jnp.fft.fftshift(psd * convnm ** 2).astype(cdtype))
+    bg = bg * (psd.size / L ** 2)
+    dphi = jnp.fft.fftshift(2.0 * (bg[0, 0].real - bg.real))
+
+    sampin = samp if samp is not None else sampnum
+    if sampin < 2:
+        logger.info("PSF should be at least nyquist sampled")
+    dimnum = int(np.fix(dim * (sampin / sampnum) / 2)) * 2
+    sampout = dimnum / npup
+    if sampin <= sampnum:
+        ns = int(sampout * npup / 2)
+        lo = dim // 2 - ns
+        dphi2 = dphi[lo:lo + 2 * ns, lo:lo + 2 * ns]
+    else:
+        raise NotImplementedError(
+            "samp > dim/npup requires structure-function extrapolation, "
+            "which crashes in the reference (psfrec.py:738-744)")
+
+    fov_num = (lbda / (sampnum * D)) * dim / 4.85e-6
+    if FoV is not None and not np.allclose(float(FoV), fov_num):
+        raise NotImplementedError(
+            "FoV oversampling needs cubic interpolation, unimplemented in "
+            "the reference (psfrec.py:640)")
+    dimover, npupover = dimnum, npup
+
+    tab = jnp.zeros((dimover, dimover), cdtype)
+    pup_sum = jnp.sum(pup)        # normaliser uses the unmodified pupil
+    if phase_static is not None:
+        pup = pup * jnp.exp(1j * jnp.asarray(phase_static, dtype)
+                            * 2 * np.pi / lbda)
+    tab = tab.at[:npupover, :npupover].set(pup.astype(cdtype))
+    dl_otf = jnp.fft.fftshift(
+        jnp.abs(jnp.fft.fft2(jnp.abs(jnp.fft.ifft2(tab)) ** 2)) / pup_sum)
+
+    sys_otf = jnp.fft.fftshift(jnp.exp(-dphi2 / 2.0) * dl_otf)
+    psf = jnp.fft.fftshift(jnp.fft.ifft2(sys_otf.astype(cdtype)).real)
+    psf = psf / jnp.sum(psf)
+    if return_all:
+        return psf, sampout, fov_num * dimover / dim
+    return psf
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -43,12 +43,19 @@ def wfs_transfer(f, f_x, f_y, pitch, strict, cdtype):
     """Shack-Hartmann transfer function ``2*pi*i*f*sinc(p fx)*sinc(p fy)``,
     zeroed past the cutoff.
 
+    ``pitch`` may be a scalar (one transfer function shared by all guide
+    stars — the GALACSI case) or a (nb_gs,) array (per-WFS pitches, giving
+    a (nb_gs, s, s) result as in the reference's general code path).
+
     QUIRK (psfrec.py:251-257, 429-435): the zeroing mask is
     ``((f != 0) & (|f_x| >= fc)) | (|f_y| >= fc)`` — '&' binds before '|'
     in the original's un-parenthesised expression.  The reconstructor uses
     '>=', the residual model '>' (``strict``); the cutoff lands exactly on
     grid frequencies so the two differ.
     """
+    pitch = jnp.asarray(pitch)
+    if pitch.ndim == 1:
+        pitch = pitch[:, None, None]
     amp = 2.0 * np.pi * f * jnp.sinc(pitch * f_x) * jnp.sinc(pitch * f_y)
     fc = 1.0 / (2.0 * pitch)
     if strict:
@@ -76,8 +83,10 @@ def glao_reconstructor(f, f_x, f_y, poslgs_amin, gs_mask, sigr, pitch,
     (psfrec.py:351-352).
     """
     w = wfs_transfer(f, f_x, f_y, pitch, strict=False, cdtype=cdtype)
+    if w.ndim == 2:
+        w = w[None]                      # shared transfer fn -> (1, s, s)
     ph = gs_phasors(f_x, f_y, poslgs_amin, gs_mask, cdtype)
-    M = (w[None] * jnp.exp(2j * np.pi * h_recons * ph)
+    M = (w * jnp.exp(2j * np.pi * h_recons * ph)
          * gs_mask[:, None, None])
     num = M.conj() / sigr[:, None, None]
     den = jnp.sum((M * num).real, axis=0)
@@ -101,13 +110,15 @@ def residual_psd_one_dir(f, f_x, f_y, poslgs_amin, gs_mask, beta_amin, sigv,
     there is dead).
     """
     w = wfs_transfer(f, f_x, f_y, pitch, strict=True, cdtype=cdtype)
+    if w.ndim == 2:
+        w = w[None]                      # shared transfer fn -> (1, s, s)
     ph = gs_phasors(f_x, f_y, poslgs_amin, gs_mask, cdtype)    # (g, s, s)
 
     # model matrix for the true profile, with the servo-lag sinc
     # (l = true layer, g = guide star)
     lag = jnp.sinc(wind[0, :, None, None, None] * ti[None, :, None, None] * f_x
                    + wind[1, :, None, None, None] * ti[None, :, None, None] * f_y)
-    Mv = (lag * w[None, None] *
+    Mv = (lag * w[None] *
           jnp.exp(2j * np.pi * h_layers[:, None, None, None] * ph[None]) *
           gs_mask[None, :, None, None])                         # (l, g, s, s)
 
@@ -130,6 +141,18 @@ def residual_psd_one_dir(f, f_x, f_y, poslgs_amin, gs_mask, beta_amin, sigv,
     return err_recons + err_noise
 
 
+def residual_variance(psd, pixsize, dpup):
+    """Residual variance [rad^2] from an FFT-ordered PSD, excluding the
+    central 1/D box (reference ``calc_var_from_psd``, psfrec.py:206-215).
+    Debug metric reported per direction at DEBUG level."""
+    from ..core.grids import pupil_mask
+    box = (1.0 / dpup) / pixsize
+    mask = pupil_mask(box / 2.0, psd.shape[-1], inverse=True,
+                      dtype=psd.dtype)
+    shifted = jnp.fft.fftshift(psd, axes=(-2, -1)) * pixsize ** 2
+    return jnp.sum(shifted * mask, axis=(-2, -1))
+
+
 def effective_wind_speed(h, cfg: GalacsiConfig) -> float:
     """Wind speed actually used for the altitude array ``h``.
 
@@ -142,14 +165,16 @@ def effective_wind_speed(h, cfg: GalacsiConfig) -> float:
 
 @partial(jax.jit, static_argnames=("npsflin", "cfg"))
 def simulate_psd(seeing, GL, L0, gs_mask, h, wind_speed, npsflin: int,
-                 cfg: GalacsiConfig):
+                 cfg: GalacsiConfig, zenith=0.0):
     """Residual-phase PSD cube (ndir, dim, dim), image-centred, nm^2/freq^2.
 
     JAX equivalent of reference ``simul_psd_wfm`` (psfrec.py:36-151):
     correction-zone GLAO PSD merged (max) with the fitting-error PSD on the
     full grid, scaled to nm^2.  ``gs_mask`` is the float (4,) guide-star
     validity mask replacing the reference's 3-LGS geometry switch;
-    ``wind_speed`` comes from :func:`effective_wind_speed`.
+    ``wind_speed`` comes from :func:`effective_wind_speed`.  ``zenith``
+    [deg] only rescales the Fried parameter (the line-of-sight altitudes
+    are computed but unused in the reference, psfrec.py:109-112).
     """
     dtype = jnp.dtype(cfg.dtype)
     cdtype = jnp.dtype(cfg.cdtype)
@@ -161,7 +186,7 @@ def simulate_psd(seeing, GL, L0, gs_mask, h, wind_speed, npsflin: int,
     wind = wind_speed * jnp.asarray(
         np.stack([np.cos(wind_dir), np.sin(wind_dir)]), dtype)
 
-    r0ref = seeing_to_r0(seeing).astype(dtype)
+    r0ref = seeing_to_r0(seeing, cfg.lambda_ref, zenith).astype(dtype)
 
     s = cfg.dimall
     f, f_x, f_y = fft_freq_polar(s, cfg.dpup / cfg.dim_pup, dtype)
