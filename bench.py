@@ -85,8 +85,9 @@ def main():
         # pull what a user consumes: per-row fit params + the mean PSF
         return np.asarray(fit), np.asarray(psf_mean), np.asarray(fit_mean)
 
-    # warmup / compile at the steady-state chunk shape
-    run(min(chunk, N_ROWS))
+    # warmup / compile at the full workload shape (covers the chunk
+    # pipeline and the cross-chunk concatenation)
+    run(N_ROWS)
 
     t0 = time.perf_counter()
     fit, psf_mean, fit_mean = run(N_ROWS)

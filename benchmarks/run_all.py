@@ -1,0 +1,92 @@
+"""Measure all five production configurations (BASELINE.json) on the
+current device and write benchmarks/RESULTS.md.
+
+Run from the repo root: ``python benchmarks/run_all.py``.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(fn, warm=True):
+    if warm:
+        fn()
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def main():
+    import jax
+    from muse_psfr_tpu.config import GalacsiConfig
+    from muse_psfr_tpu.parallel.batch import process_batch
+    from muse_psfr_tpu.api import condition_sweep
+    from bench import build_rows, measure_baseline
+
+    cfg = GalacsiConfig()
+    dev = str(jax.devices()[0])
+    rows = []
+
+    # 1. single condition, 3 lambda (the CLI config)
+    lb3 = np.linspace(500, 900, 3)
+    t, _ = timed(lambda: [np.asarray(a) for a in process_batch(
+        [1.0], [0.7], [25.0], np.ones((1, 4)), lb3, cfg=cfg, chunk=1)])
+    rows.append(("single condition, 3 lambda (CLI)", 1, t))
+
+    # 2. one row, full 35-lambda cube + fit
+    lb35 = np.linspace(490, 930, 35)
+    t, _ = timed(lambda: [np.asarray(a) for a in process_batch(
+        [1.0], [0.7], [25.0], np.ones((1, 4)), lb35, cfg=cfg, chunk=1)])
+    rows.append(("one row x 35 lambda", 1, t))
+
+    # 3. full night: 100 rows x 35 lambda
+    seeing, GL, L0, mask = build_rows(100)
+    t, _ = timed(lambda: [np.asarray(a) for a in process_batch(
+        seeing, GL, L0, mask, lb35, cfg=cfg, chunk=25)])
+    rows.append(("full night: 100 rows x 35 lambda", 100, t))
+
+    # 4. high-resolution 2048^2 grids, one row x 35 lambda
+    cfg_hi = cfg.with_(dim=2048)
+    t, _ = timed(lambda: [np.asarray(a) for a in process_batch(
+        [1.0], [0.7], [25.0], np.ones((1, 4)), lb35, cfg=cfg_hi, chunk=1)])
+    rows.append(("high-res 2048^2: one row x 35 lambda", 1, t))
+
+    # 5. 32x32 condition sweep over (seeing, GL) at fixed L0, 35 lambda
+    sv = np.linspace(0.6, 1.6, 32)
+    gv = np.linspace(0.3, 0.9, 32)
+    # compile the sweep chunk shape on a small grid first
+    condition_sweep(sv[:4], gv[:8], [25.0], lbda=lb35, cfg=cfg, chunk=32)
+    t, _ = timed(lambda: condition_sweep(sv, gv, [25.0], lbda=lb35,
+                                         cfg=cfg, chunk=32), warm=False)
+    rows.append(("condition sweep 32x32 (seeing, GL) x 35 lambda",
+                 32 * 32, t))
+
+    base = measure_baseline()
+    lines = [
+        "# Benchmark results",
+        "",
+        f"Device: {dev}; dtype {cfg.dtype}; reference-cost proxy "
+        f"{base['rows_per_sec']:.4f} rows/s "
+        f"(float64 oracle, {base['ncpu']} CPU core(s)).",
+        "",
+        "| configuration | work items | wall time [s] | items/s | vs proxy |",
+        "|---|---|---|---|---|",
+    ]
+    for name, n, t in rows:
+        lines.append("| %s | %d | %.3f | %.1f | %.0fx |"
+                     % (name, n, t, n / t, (n / t) / base["rows_per_sec"]))
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "RESULTS.md")
+    with open(out, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(json.dumps({r[0]: round(r[2], 3) for r in rows}))
+
+
+if __name__ == "__main__":
+    main()

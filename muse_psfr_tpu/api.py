@@ -29,6 +29,32 @@ _FIT_COLUMNS = ("center", "flux", "fwhm", "n", "peak", "err_center",
                 "err_flux", "err_fwhm", "err_n", "err_peak")
 
 
+def _debug_condition_summary(seeing, GL, h):
+    """Per-condition DEBUG parameter summary (reference psfrec.py:116-124).
+
+    The wind speed follows the integer-altitude truncation quirk of the
+    PSD model so the logged value matches what is actually simulated.
+    """
+    if not logger.isEnabledFor(10):  # logging.DEBUG
+        return
+    from .psd.model import effective_wind_speed
+    from .config import DEFAULT_CONFIG
+    cn2 = np.array([GL, 1 - GL])
+    cn2 = cn2 / cn2.sum()
+    hz = np.asarray(h, float)
+    r0 = 0.976 * 0.5 / seeing / 4.85
+    vent = np.full(2, effective_wind_speed(h, DEFAULT_CONFIG))
+    logger.debug("r0 0.5um (zenith)        = %.2f", r0)
+    logger.debug("r0 0.5um (line of sight) = %.2f", r0)
+    logger.debug("Seeing   (line of sight) = %.2f", 0.987 * 0.5 / r0 / 4.85)
+    logger.debug("hbarre   (zenith)        = %.2f",
+                 np.sum(hz ** (5 / 3) * cn2) ** (3 / 5))
+    logger.debug("hbarre   (line of sight) = %.2f",
+                 np.sum(hz ** (5 / 3) * cn2) ** (3 / 5))
+    logger.debug("vbarre                   = %.2f",
+                 np.sum(vent ** (5 / 3) * cn2) ** (3 / 5))
+
+
 def fit_table_from_arrays(lbda, fit, pixscale=0.2):
     """Moffat-fit arrays (leading axis = wavelength) -> FitTable.
 
@@ -56,6 +82,7 @@ def compute_psf(lbda, seeing, GL, L0, npsflin=1, h=(100, 10000),
                     seeing, GL, L0)
         if three_lgs_mode:
             logger.info("Using three lasers mode")
+    _debug_condition_summary(seeing, GL, h)
     lbda = np.atleast_1d(np.asarray(lbda, float))
     gs_mask = np.array([[1.0, 1.0, 1.0, 0.0 if three_lgs_mode else 1.0]])
     psf = reconstruct_batch([seeing], [GL], [L0], gs_mask, lbda, h=h,
@@ -68,6 +95,81 @@ def compute_psf(lbda, seeing, GL, L0, npsflin=1, h=(100, 10000),
     res["GL"] = GL
     res["L0"] = L0
     return res, psf
+
+
+def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
+                    lmax=930, nl=35, npsflin=1, h=(100, 10000),
+                    three_lgs_mode=False, cfg=DEFAULT_CONFIG, chunk=32,
+                    mesh=None):
+    """Sensitivity sweep over a Cartesian (seeing, GL, L0) condition grid.
+
+    Reconstructs and Moffat-fits the PSF for every combination of the
+    given 1-D condition arrays, batched on device (sharded over ``mesh``
+    when given).  Returns a dict with the condition grids and
+    ``fwhm``/``beta`` arrays of shape (n_seeing, n_gl, n_l0, n_lbda)
+    (FWHM in arcsec), plus the packed raw fit (same leading shape).
+
+    This covers the '32x32 condition sweep' production configuration; the
+    reference has no equivalent (a sweep there is an external loop over
+    ``compute_psf``, one process per row).
+    """
+    from .fit.moffat_fit import unpack_fit
+    from .utils.profiling import maybe_trace, stage_timer
+
+    if lbda is None:
+        lbda = np.linspace(lmin, lmax, nl)
+    lbda = np.asarray(lbda, float)
+    sv = np.asarray(seeing_vals, float)
+    gv = np.asarray(gl_vals, float)
+    lv = np.asarray(l0_vals, float)
+    ss, gg, ll = np.meshgrid(sv, gv, lv, indexing="ij")
+    B = ss.size
+    gs_mask = np.ones((B, 4))
+    if three_lgs_mode:
+        gs_mask[:, 3] = 0.0
+
+    with maybe_trace("condition_sweep"), stage_timer("condition_sweep"):
+        fit_d, _, _ = process_batch(ss.ravel(), gg.ravel(), ll.ravel(),
+                                    gs_mask, lbda, h=h, npsflin=npsflin,
+                                    cfg=cfg, chunk=chunk, mesh=mesh)
+        packed = np.asarray(fit_d)
+    shape = ss.shape + (len(lbda),)
+    fit = unpack_fit(packed.reshape(shape + (packed.shape[-1],)))
+    return {
+        "seeing": sv, "GL": gv, "L0": lv, "lbda": lbda,
+        "fwhm": fit["fwhm"][..., 0] * cfg.pixscale,
+        "beta": fit["n"],
+        "fit": fit,
+    }
+
+
+def save_sweep(res, outfile):
+    """Write a :func:`condition_sweep` result as a FITS file.
+
+    Layout: PRIMARY; FWHM and BETA image HDUs of shape
+    (n_seeing, n_gl, n_l0, n_lbda); one GRID binary table with the four
+    flattened condition axes stored as vector columns.
+    """
+    grid = FitTable()
+    n = max(len(res["seeing"]), len(res["GL"]), len(res["L0"]),
+            len(res["lbda"]))
+
+    def padded(a):
+        a = np.asarray(a, float)
+        return np.concatenate([a, np.full(n - len(a), np.nan)])[None, :]
+
+    grid["SEEING"] = padded(res["seeing"])
+    grid["GL"] = padded(res["GL"])
+    grid["L0"] = padded(res["L0"])
+    grid["LBDA"] = padded(res["lbda"])
+    out = HDUList([
+        PrimaryHDU(),
+        ImageHDU(data=np.asarray(res["fwhm"], np.float64), name="FWHM"),
+        ImageHDU(data=np.asarray(res["beta"], np.float64), name="BETA"),
+        grid.to_hdu(name="GRID"),
+    ])
+    out.writeto(outfile, overwrite=True)
+    return out
 
 
 def compute_psf_from_sparta(filename, extname="SPARTA_ATM_DATA", npsflin=1,

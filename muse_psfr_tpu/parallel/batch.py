@@ -43,10 +43,7 @@ def _reconstruct_vmapped(seeing, GL, L0, gs_mask, lbda, h, wind_speed,
     )(seeing, GL, L0, gs_mask)
 
 
-def default_mesh():
-    """1-D mesh over all addressable devices (axis name 'rows')."""
-    devs = np.array(jax.devices())
-    return Mesh(devs, axis_names=("rows",))
+from .mesh import default_mesh  # noqa: E402  (re-exported here for API)
 
 
 def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
