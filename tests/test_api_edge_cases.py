@@ -1,0 +1,56 @@
+"""API edge cases: row skipping/bookkeeping, explicit wavelength arrays,
+input forms, and sweep FITS output."""
+
+import io
+
+import numpy as np
+from numpy.testing import assert_allclose
+
+from muse_psfr_tpu import (compute_psf_from_sparta, create_sparta_table,
+                           fits_open, FitTable, HDUList, TINY_CONFIG)
+from muse_psfr_tpu.api import condition_sweep, save_sweep
+
+
+def test_mixed_valid_invalid_rows(tmp_path, caplog):
+    """Middle row fully invalid: it is skipped, and row_idx counts the
+    *work items*, matching the reference bookkeeping (psfrec.py:1090)."""
+    hdu = create_sparta_table(nlines=3)
+    hdu.data["LGS1_L0"][1] = 1000.0
+    hdu.data["LGS2_L0"][1] = 1000.0
+    hdu.data["LGS3_L0"][1] = 1000.0
+    hdu.data["LGS4_L0"][1] = 1000.0
+    res = compute_psf_from_sparta(HDUList([hdu]), lmin=600, lmax=900, nl=2)
+    fit = FitTable.from_hdu(res["FIT_ROWS"])
+    assert sorted(set(fit["row_idx"])) == [1, 2]
+    assert any("2/3 : No valid values, skipping this row" == r.message
+               for r in caplog.records)
+
+
+def test_explicit_lbda_array():
+    hdul = HDUList([create_sparta_table()])
+    res = compute_psf_from_sparta(hdul, lbda=np.array([600.0, 800.0]))
+    fit = FitTable.from_hdu(res["FIT_ROWS"])
+    assert_allclose(fit["lbda"], [600.0, 800.0])
+    assert res["PSF_MEAN"].data.shape[0] == 2
+
+
+def test_bytesio_input_roundtrip():
+    buf = io.BytesIO()
+    create_sparta_table(outfile=buf)
+    buf.seek(0)
+    res = compute_psf_from_sparta(buf, lmin=700, lmax=900, nl=2)
+    assert [h.name for h in res] == ["PRIMARY", "SPARTA_ATM_DATA",
+                                     "FIT_ROWS", "FIT_MEAN", "PSF_MEAN"]
+
+
+def test_save_sweep_roundtrip(tmp_path):
+    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
+    res = condition_sweep([0.8, 1.2], [0.7], [25.0], lbda=[700.0, 900.0],
+                          cfg=cfg)
+    path = str(tmp_path / "sweep.fits")
+    save_sweep(res, path)
+    back = fits_open(path)
+    assert_allclose(back["FWHM"].data, res["fwhm"])
+    assert_allclose(back["BETA"].data, res["beta"])
+    grid = back["GRID"].data
+    assert_allclose(grid["SEEING"][0][:2], [0.8, 1.2])
