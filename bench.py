@@ -69,6 +69,9 @@ def build_rows(n):
 def main():
     baseline = measure_baseline()
 
+    # NOTE: jax's persistent compilation cache is incompatible with the
+    # axon remote-compile flow (cached executables fail with UNIMPLEMENTED
+    # at dispatch), so compiles are per-process here.
     import jax
     from muse_psfr_tpu.config import GalacsiConfig
     from muse_psfr_tpu.parallel.batch import process_batch
