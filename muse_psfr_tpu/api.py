@@ -10,10 +10,10 @@ process pool.
 
 import numpy as np
 
-from .config import GalacsiConfig, DEFAULT_CONFIG
+from .config import DEFAULT_CONFIG
 from .fit.moffat_fit import fit_moffat_cube
 from .fit.polynom import fit_psf_with_polynom, norm_lbda  # noqa: F401
-from .io.fits import HDUList, PrimaryHDU, ImageHDU, fits_open
+from .io.fits import HDUList, PrimaryHDU, ImageHDU
 from .io.sparta import create_sparta_table, read_sparta_values  # noqa: F401
 from .io.table import FitTable
 from .parallel.batch import reconstruct_batch, process_batch

@@ -1,9 +1,9 @@
 """``muse-psfr`` command line interface.
 
-Flag-for-flag and output-for-output compatible with the reference CLI
-(reference cli.py): reconstructs the PSF at 500/700/900 nm from either a
-raw-file SPARTA table or ``--values seeing,GL,L0``, prints/logs the
-LBDA/FWHM/BETA summary block, and optionally writes the result FITS.
+Behaviourally identical to the reference CLI (same flags, same log/text
+output — the exact LBDA/FWHM/BETA block is a test contract, reference
+test_psfrec.py:121-128), reorganised around small helpers: input
+resolution, reconstruction, formatting, and sinks.
 """
 
 import argparse
@@ -18,6 +18,8 @@ from .io.sparta import create_sparta_table
 from .utils.log import LOGGER_NAME
 
 logger = logging.getLogger(LOGGER_NAME + ".cli")
+
+_RULE = "-" * 68
 
 
 def build_parser():
@@ -40,95 +42,108 @@ def build_parser():
     return parser
 
 
+def _resolve_input(args):
+    """-> (telemetry source, optional observation header line)."""
+    if args.values:
+        parts = [float(x) for x in args.values.split(",")]
+        if len(parts) != 3:
+            sys.exit("--values must contain a list of 3 comma-separated "
+                     "values for seeing, GL, and L0")
+        stream = io.BytesIO()
+        create_sparta_table(outfile=stream, seeing=parts[0], GL=parts[1],
+                            L0=parts[2])
+        stream.seek(0)
+        return stream, None
+
+    if args.raw is None:
+        sys.exit("no input file provided")
+    hdr = fits_getheader(args.raw)
+    line = "OB %s %s Airmass %.2f-%.2f" % (
+        hdr.get("HIERARCH ESO OBS NAME"),
+        hdr.get("DATE"),
+        hdr.get("HIERARCH ESO TEL AIRM START", 0),
+        hdr.get("HIERARCH ESO TEL AIRM END", 0),
+    )
+    logger.info(line)
+    return args.raw, line
+
+
+def _set_verbose():
+    root = logging.getLogger(LOGGER_NAME)
+    root.setLevel("DEBUG")
+    root.handlers[0].setLevel("DEBUG")
+
+
+def _colors_available(args):
+    if args.no_color:
+        return False
+    try:
+        import colorama  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _format_block(header_line, seeing, gl, l0, lbda, fwhm, beta, colored):
+    """The result text block; colored variant wraps each line in ANSI
+    styles via colorama (one color per wavelength)."""
+    buf = io.StringIO()
+    if header_line:
+        buf.write(header_line + "\n")
+    buf.write(_RULE + "\n")
+    buf.write(f"Sparta Seeing: {seeing:.2f} arcsec GL: {gl:.2f} "
+              f"L0:{l0:.2f} m\n")
+    rows = (("LBDA", "%.0f", lbda), ("FWHM", "%.2f", fwhm),
+            ("BETA", "%.2f", beta))
+    if not colored:
+        for name, fmt, vals in rows:
+            buf.write(name + " " + " ".join(fmt % v for v in vals) + "\n")
+    else:
+        from colorama import Back, Fore, Style
+        open_style = Back.BLACK + Style.BRIGHT + Fore.WHITE
+        close_style = Fore.RESET + Style.NORMAL + Back.RESET
+        tints = (Fore.BLUE, Fore.GREEN, Fore.RED)
+        for name, fmt, vals in rows:
+            cells = " ".join(t + fmt % v for t, v in zip(tints, vals))
+            buf.write(f"{open_style}{name} {cells}{close_style}\n")
+        buf.write(Style.RESET_ALL)
+    buf.write(_RULE + "\n")
+    return buf
+
+
+def _emit(block, args):
+    block.seek(0)
+    for line in block:
+        logger.info(line.rstrip("\n"))
+    if args.logfile is not None:
+        block.seek(0)
+        with open(args.logfile, "a") as fd:
+            fd.write("\nFile: {}\n".format(args.raw))
+            fd.write(block.read())
+        logger.info("Results saved to %s" % args.logfile)
+
+
 def main(args=None):
     args = build_parser().parse_args(args)
     logger.info("MUSE-PSFR version %s", __version__)
 
-    if args.values:
-        values = [float(x) for x in args.values.split(",")]
-        if len(values) != 3:
-            sys.exit("--values must contain a list of 3 comma-separated "
-                     "values for seeing, GL, and L0")
-        header_line = None
-        rawf = io.BytesIO()
-        create_sparta_table(outfile=rawf, seeing=values[0], GL=values[1],
-                            L0=values[2])
-        rawf.seek(0)
-    else:
-        if args.raw is None:
-            sys.exit("no input file provided")
-        rawf = args.raw
-        hdr = fits_getheader(rawf)
-        header_line = ("OB %s %s Airmass %.2f-%.2f" % (
-            hdr.get("HIERARCH ESO OBS NAME"),
-            hdr.get("DATE"),
-            hdr.get("HIERARCH ESO TEL AIRM START", 0),
-            hdr.get("HIERARCH ESO TEL AIRM END", 0),
-        ))
-        logger.info(header_line)
+    source, header_line = _resolve_input(args)
 
     logger.info("Computing PSF Reconstruction from Sparta data")
     if args.verbose:
-        _logger = logging.getLogger(LOGGER_NAME)
-        _logger.setLevel("DEBUG")
-        _logger.handlers[0].setLevel("DEBUG")
+        _set_verbose()
 
-    res = compute_psf_from_sparta(rawf, lmin=500, lmax=900, nl=3,
+    res = compute_psf_from_sparta(source, lmin=500, lmax=900, nl=3,
                                   n_jobs=args.njobs, plot=args.plot)
-    if res:
-        data = res["FIT_MEAN"].data
-        lbda, fwhm, beta = data["lbda"], data["fwhm"][:, 0], data["n"]
-        hdr = res["FIT_MEAN"].header
-        seeing, gl, l0 = hdr["SEEING"], hdr["GL"], hdr["L0"]
-    else:
+    if not res:
         sys.exit("No results")
 
-    f = io.StringIO()
-    if header_line:
-        f.write(header_line + "\n")
-    f.write("-" * 68 + "\n")
-    f.write(f"Sparta Seeing: {seeing:.2f} arcsec GL: {gl:.2f} L0:{l0:.2f} m\n")
-
-    try:
-        import colorama  # noqa
-    except ImportError:
-        args.no_color = True
-
-    lbda = lbda * 10
-    if args.no_color:
-        f.write("LBDA %.0f %.0f %.0f\n" % tuple(lbda))
-        f.write("FWHM %.2f %.2f %.2f\n" % tuple(fwhm))
-        f.write("BETA %.2f %.2f %.2f\n" % tuple(beta))
-    else:
-        from colorama import Fore, Back, Style
-        RED, GREEN, BLUE = Fore.RED, Fore.GREEN, Fore.BLUE
-        begin_style = Back.BLACK + Style.BRIGHT + Fore.WHITE
-        end_style = Fore.RESET + Style.NORMAL + Back.RESET
-        f.write(
-            f"{begin_style}"
-            f"LBDA {BLUE}{lbda[0]:.0f} {GREEN}{lbda[1]:.0f} {RED}{lbda[2]:.0f}"
-            f"{end_style}\n"
-            f"{begin_style}"
-            f"FWHM {BLUE}{fwhm[0]:.2f} {GREEN}{fwhm[1]:.2f} {RED}{fwhm[2]:.2f}"
-            f"{end_style}\n"
-            f"{begin_style}"
-            f"BETA {BLUE}{beta[0]:.2f} {GREEN}{beta[1]:.2f} {RED}{beta[2]:.2f}"
-            f"{end_style}\n"
-        )
-        f.write(Style.RESET_ALL)
-
-    f.write("-" * 68 + "\n")
-
-    f.seek(0)
-    for line in f:
-        logger.info(line.rstrip("\n"))
-
-    if args.logfile is not None:
-        f.seek(0)
-        with open(args.logfile, "a") as fd:
-            fd.write("\nFile: {}\n".format(args.raw))
-            fd.write(f.read())
-        logger.info("Results saved to %s" % args.logfile)
+    data = res["FIT_MEAN"].data
+    hdr = res["FIT_MEAN"].header
+    block = _format_block(header_line, hdr["SEEING"], hdr["GL"], hdr["L0"],
+                          data["lbda"] * 10, data["fwhm"][:, 0], data["n"],
+                          colored=_colors_available(args))
+    _emit(block, args)
 
     if args.outfile is not None:
         res.writeto(args.outfile, overwrite=True)

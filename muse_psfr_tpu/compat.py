@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from .api import (MIN_L0, MAX_L0, compute_psf, compute_psf_from_sparta,  # noqa: F401
                   fit_table_from_arrays)
-from .config import GalacsiConfig, DEFAULT_CONFIG
+from .config import DEFAULT_CONFIG
 from .core.grids import (fft_freq_polar, direction_grid, lgs_positions,
                          pupil_mask as _pupil_mask_f)
 from .core.moffat import muse_intrinsic_psf as _intrinsic
