@@ -49,6 +49,11 @@ class GalacsiConfig:
     dtype: str = "float32"     # compute dtype for the heavy stages
     fit_dtype: str = "float32" # dtype of the Moffat LM solve
     use_zoom_dft: bool = True  # zoom-DFT (MXU matmuls) instead of full IFFT
+    use_fft: bool = True       # device FFTs for the structure function /
+                               # convolutions; False = MXU DFT-matmul +
+                               # direct-convolution path (exact, FFT-free —
+                               # also the fallback when the TPU runtime's
+                               # FFT custom call is unavailable)
     use_pallas: bool = False   # fused exp+matmul Pallas kernel (TPU only,
                                # float32, single-direction).  Measured
                                # slightly slower than the XLA zoom path in

@@ -13,6 +13,7 @@ numbers to the reference's ``scipy.signal.fftconvolve(mode='same')``.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import GalacsiConfig
@@ -33,6 +34,29 @@ def _fft_convolve_same(planes, kernels, n_img: int, n_ker: int):
     full = jnp.fft.irfft2(fp * fk, s=(nfft, nfft))
     off = (n_ker - 1) // 2
     return full[..., off:off + n_img, off:off + n_img]
+
+
+def _direct_convolve_same(planes, kernels, n_img: int, n_ker: int):
+    """'same' linear convolution as a grouped direct convolution (MXU).
+
+    Same numbers as :func:`_fft_convolve_same` to rounding; used on the
+    FFT-free path.  Each wavelength plane gets its own kernel via
+    ``feature_group_count``.  True convolution (kernel flipped) to match
+    scipy.signal.fftconvolve semantics.
+    """
+    nl = planes.shape[0]
+    if kernels.shape[0] == 1:
+        kernels = jnp.broadcast_to(kernels, (nl,) + kernels.shape[1:])
+    lhs = planes[None]                               # (1, nl, H, W)
+    rhs = kernels[:, None, ::-1, ::-1]               # (nl, 1, kh, kw)
+    pad = (n_ker - 1) // 2
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=nl,
+        precision=jax.lax.Precision.HIGHEST)
+    return out[0]
 
 
 def tip_tilt_fwhm(seeing, GL, L0, cfg: GalacsiConfig):
@@ -57,16 +81,18 @@ def convolve_final(psf, lbda_nm, seeing, GL, L0, cfg: GalacsiConfig):
     nl, n_img = psf.shape[0], psf.shape[1]
     n_ker = n_img + (n_img % 2 == 0)  # force odd (psfrec.py:911-915)
 
+    conv = _fft_convolve_same if cfg.use_fft else _direct_convolve_same
+
     beta_tt = 2.0
     alpha_tt = moffat_fwhm_to_alpha(tip_tilt_fwhm(seeing, GL, L0, cfg),
                                     beta_tt)
     k_tt = moffat_kernel(alpha_tt, beta_tt, n_ker, dtype)
-    psf = _fft_convolve_same(psf, k_tt[None], n_img, n_ker)
+    psf = conv(psf, k_tt[None], n_img, n_ker)
 
     fwhm_i, beta_i, _, _ = muse_intrinsic_psf(lbda_nm.astype(dtype))
     alpha_i = moffat_fwhm_to_alpha(fwhm_i / cfg.pixscale, beta_i)
     k_i = _batched_kernels(alpha_i, beta_i, n_ker, dtype)
-    return _fft_convolve_same(psf, k_i, n_img, n_ker)
+    return conv(psf, k_i, n_img, n_ker)
 
 
 def _batched_kernels(alphas, betas, size: int, dtype):

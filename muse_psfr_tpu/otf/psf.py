@@ -45,20 +45,50 @@ from ..utils.log import get_logger
 logger = get_logger("otf")
 
 
+_PUPIL_OTF_CACHE = {}
+
+
 def pupil_otf(cfg: GalacsiConfig):
     """Diffraction-limited OTF: normalised pupil autocorrelation (dim, dim).
 
     Image-centred, real.  Matches reference psfrec.py:783-790 (computed
     there per wavelength; hoisted here — it is wavelength-independent).
+    A pure function of the static configuration, so it is computed once on
+    the host in float64 and becomes a program constant (also keeping the
+    device path FFT-free).
     """
-    dtype = jnp.dtype(cfg.dtype)
-    cdtype = jnp.dtype(cfg.cdtype)
-    pup = pupil_mask(cfg.dim / 4.0, cfg.npup, oc=cfg.occ, dtype=dtype)
-    tab = jnp.zeros((cfg.dim, cfg.dim), cdtype)
-    tab = tab.at[:cfg.npup, :cfg.npup].set(pup.astype(cdtype))
-    amp = jnp.abs(jnp.fft.ifft2(tab)) ** 2
-    otf = jnp.abs(jnp.fft.fft2(amp.astype(cdtype))) / jnp.sum(pup)
-    return jnp.fft.fftshift(otf).astype(dtype)
+    key = (cfg.dim, cfg.npup, cfg.occ, cfg.dtype)
+    if key not in _PUPIL_OTF_CACHE:
+        c = (cfg.npup - 1) / 2.0
+        y = np.arange(cfg.npup)[:, None] - c
+        x = np.arange(cfg.npup)[None, :] - c
+        rho = np.hypot(y, x) / (cfg.dim / 4.0)
+        pup = ((rho < 1.0) & (rho >= cfg.occ)).astype(np.float64)
+        tab = np.zeros((cfg.dim, cfg.dim), np.complex128)
+        tab[:cfg.npup, :cfg.npup] = pup
+        amp = np.abs(np.fft.ifft2(tab)) ** 2
+        otf = np.abs(np.fft.fft2(amp)) / pup.sum()
+        _PUPIL_OTF_CACHE[key] = np.fft.fftshift(otf).astype(cfg.dtype)
+    return jnp.asarray(_PUPIL_OTF_CACHE[key])
+
+
+def _centered_idft_matrices(dim: int, dtype):
+    """Real/imag matrices of the shifted inverse DFT, centred in and out.
+
+    For a real image-centred array X, ``fftshift(ifft2(fftshift(X))).real
+    = C X C^T - S X S^T`` where ``C[p, g] = (-1)^(p - N/2 mod N) *
+    cos(2 pi ((p - N/2) mod N) g / N) / N`` and similarly for S — the
+    (-1)^k factor absorbs the inner fftshift and the row reindexing the
+    outer one.  Phases are reduced mod N in int32 for float32 accuracy.
+    """
+    k = np.mod(np.arange(dim) - dim // 2, dim)
+    g = np.arange(dim)
+    ph = np.mod(np.outer(k, g), dim).astype(np.float64)
+    ang = ph * (2.0 * np.pi / dim)
+    sign = np.where(k % 2 == 0, 1.0, -1.0)[:, None]
+    c = sign * np.cos(ang) / dim
+    s = sign * np.sin(ang) / dim
+    return jnp.asarray(c, dtype), jnp.asarray(s, dtype)
 
 
 def dphi_base(psd, cfg: GalacsiConfig):
@@ -66,17 +96,30 @@ def dphi_base(psd, cfg: GalacsiConfig):
 
     ``Dphi(lbda) = convnm(lbda)^2 * dphi_base`` where ``convnm = 2 pi /
     lbda_nm``.  Follows reference psfrec.py:716-722 with the ``convnm``
-    factor pulled out of the FFT.
+    factor pulled out of the transform.  With ``cfg.use_fft`` unset, the
+    (wavelength-free, per-row) transform runs as two MXU matmuls instead
+    of an FFT — exact to rounding, and independent of the TPU runtime's
+    FFT custom call.
     """
     dim = cfg.dim
     sampnum = dim / cfg.npup
     L = cfg.dpup * sampnum
-    cdtype = jnp.dtype(cfg.cdtype)
-    bg = jnp.fft.ifft2(
-        jnp.fft.fftshift(psd, axes=(-2, -1)).astype(cdtype)
-    ) * (dim * dim / (L * L))
-    d = 2.0 * (bg[..., :1, :1].real - bg.real)
-    return jnp.fft.fftshift(d, axes=(-2, -1)).astype(cfg.dtype)
+    scale = dim * dim / (L * L)
+    if cfg.use_fft:
+        cdtype = jnp.dtype(cfg.cdtype)
+        bg = jnp.fft.ifft2(
+            jnp.fft.fftshift(psd, axes=(-2, -1)).astype(cdtype)) * scale
+        d = 2.0 * (bg[..., :1, :1].real - bg.real)
+        return jnp.fft.fftshift(d, axes=(-2, -1)).astype(cfg.dtype)
+
+    dtype = jnp.dtype(cfg.dtype)
+    c, s = _centered_idft_matrices(dim, dtype)
+    x = psd.astype(dtype)
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    # centred Re(bg): C X C^T - S X S^T, batched over the direction axis
+    re_bg = mm(mm(c, x), c.T) - mm(mm(s, x), s.T)
+    bg00 = jnp.sum(x, axis=(-2, -1))[..., None, None] / (L * L)
+    return (2.0 * (bg00 - re_bg * scale)).astype(dtype)
 
 
 def lambda_crop_size(lbda_nm, cfg: GalacsiConfig):
@@ -272,6 +315,9 @@ def psf_cube(psd, lbda_nm, cfg: GalacsiConfig):
     npixc = lambda_crop_size(lbda_nm.astype(dtype), cfg)  # (nl,) int32
 
     ndir = psd.shape[0]
+    if not cfg.use_fft and not cfg.use_zoom_dft:
+        raise ValueError("the FFT-free mode (use_fft=False) requires the "
+                         "zoom-DFT resampling path (use_zoom_dft=True)")
     pallas_ok = (cfg.use_pallas and cfg.use_zoom_dft and ndir == 1
                  and cfg.dtype == "float32" and cfg.dim % 256 == 0
                  and jax.default_backend() not in ("cpu",))

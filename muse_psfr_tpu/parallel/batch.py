@@ -45,6 +45,53 @@ def _reconstruct_vmapped(seeing, GL, L0, gs_mask, lbda, h, wind_speed,
 
 from .mesh import default_mesh  # noqa: E402  (re-exported here for API)
 
+_FFT_OK = {}
+
+
+def fft_available() -> bool:
+    """Probe whether the current default backend executes FFTs.
+
+    Some TPU runtime deployments lack (or transiently lose) the FFT
+    custom call; the pipeline then falls back to its exact FFT-free
+    MXU path.  Result cached per backend.
+    """
+    backend = jax.default_backend()
+    if backend not in _FFT_OK:
+        import os
+        forced = os.environ.get("MUSE_PSFR_FFT")
+        if forced is not None:
+            _FFT_OK[backend] = forced not in ("0", "false", "no")
+        elif backend == "cpu":
+            _FFT_OK[backend] = True
+        else:
+            # Probe in a subprocess: a failed FFT execution poisons the
+            # whole client (subsequent transfers fail too), so it must not
+            # happen in this process.  Probe at a production-like size —
+            # tiny/constant FFTs can succeed even when the runtime's real
+            # FFT custom call is unavailable.
+            import subprocess
+            import sys
+            code = ("import jax, numpy as np, jax.numpy as jnp;"
+                    "x = jax.device_put(np.zeros((256,256), np.complex64));"
+                    "y = jax.jit(lambda a: jnp.fft.ifft2(a).real.sum())(x);"
+                    "np.asarray(y)")
+            try:
+                proc = subprocess.run([sys.executable, "-c", code],
+                                      capture_output=True, timeout=120)
+                _FFT_OK[backend] = proc.returncode == 0
+            except Exception:  # noqa: BLE001
+                _FFT_OK[backend] = False
+    return _FFT_OK[backend]
+
+
+def resolve_fft_mode(cfg: GalacsiConfig) -> GalacsiConfig:
+    """Downgrade ``cfg.use_fft`` if the backend cannot run FFTs."""
+    if cfg.use_fft and not fft_available():
+        if not cfg.use_zoom_dft:
+            cfg = cfg.with_(use_zoom_dft=True)
+        cfg = cfg.with_(use_fft=False)
+    return cfg
+
 
 def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                 npsflin: int = 1, cfg: GalacsiConfig = None,
@@ -58,7 +105,7 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     All chunks are dispatched with identical shapes (one compilation).
     """
     from ..psd.model import effective_wind_speed
-    cfg = cfg or GalacsiConfig()
+    cfg = resolve_fft_mode(cfg or GalacsiConfig())
     wind_speed = effective_wind_speed(h, cfg)
     h_arr = jnp.asarray(np.asarray(h, dtype=np.float64), cfg.dtype)
     lbda = jnp.asarray(lbda, cfg.dtype)
