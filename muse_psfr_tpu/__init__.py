@@ -34,7 +34,10 @@ from .plotting import plot_psf, radial_profile  # noqa: E402
 from .psd.model import simulate_psd, seeing_to_r0  # noqa: E402
 from .otf.psf import psf_cube, pupil_otf  # noqa: E402
 from .otf.convolve import convolve_final  # noqa: E402
-from .parallel.batch import reconstruct_batch, default_mesh  # noqa: E402
+from .parallel.batch import (  # noqa: E402
+    reconstruct_batch, process_batch, default_mesh, fft_available,
+)
+from .api import condition_sweep, save_sweep  # noqa: E402
 
 __all__ = [
     "GalacsiConfig", "DEFAULT_CONFIG", "TINY_CONFIG",
@@ -44,6 +47,7 @@ __all__ = [
     "HDUList", "PrimaryHDU", "ImageHDU", "BinTableHDU", "fits_open",
     "FitTable", "plot_psf", "radial_profile",
     "simulate_psd", "seeing_to_r0", "psf_cube", "pupil_otf",
-    "convolve_final", "reconstruct_batch", "default_mesh",
+    "convolve_final", "reconstruct_batch", "process_batch",
+    "default_mesh", "fft_available", "condition_sweep", "save_sweep",
     "__version__",
 ]
