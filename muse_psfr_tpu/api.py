@@ -176,13 +176,15 @@ def compute_psf_from_sparta(filename, extname="SPARTA_ATM_DATA", npsflin=1,
                             lmin=490, lmax=930, nl=35, lbda=None,
                             h=(100, 10000), n_jobs=-1, plot=False,
                             mean_of_lgs=True, verbose=True,
-                            cfg=DEFAULT_CONFIG):
+                            cfg=DEFAULT_CONFIG, chunk=25, mesh=None):
     """Reconstruct PSFs for every row of a SPARTA telemetry table.
 
     Same contract as the reference (psfrec.py:981-1120): returns an
     ``HDUList`` [PRIMARY, SPARTA_ATM_DATA (copy), FIT_ROWS, FIT_MEAN,
     PSF_MEAN], or ``None`` if no row has valid telemetry.  ``n_jobs`` is
-    accepted for API compatibility; parallelism is the on-device batch.
+    accepted for API compatibility; parallelism is the on-device batch,
+    chunked by ``chunk`` and sharded across ``mesh`` when given
+    (e.g. ``default_mesh()`` for all chips of a slice).
     """
     values, hdul = read_sparta_values(filename, extname)
     out = HDUList([PrimaryHDU(), hdul[extname].copy()])
@@ -249,7 +251,8 @@ def compute_psf_from_sparta(filename, extname="SPARTA_ATM_DATA", npsflin=1,
     # packed fit parameters and the mean PSF cross the device->host link) --
     from .fit.moffat_fit import unpack_fit
     fit_d, psf_mean_d, fit_mean_d = process_batch(
-        seeing, GL, L0, gs_mask, lbda, h=h, npsflin=npsflin, cfg=cfg)
+        seeing, GL, L0, gs_mask, lbda, h=h, npsflin=npsflin, cfg=cfg,
+        chunk=chunk, mesh=mesh)
     fit = unpack_fit(fit_d)
 
     tables = []

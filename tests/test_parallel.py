@@ -45,3 +45,22 @@ def test_batch_padding_with_mesh():
     assert out.shape[0] == B
     # identical conditions -> identical PSFs
     assert_allclose(out, np.repeat(out[:1], B, axis=0), atol=1e-12)
+
+
+def test_compute_psf_from_sparta_with_mesh():
+    """The top-level API shards its batch over a mesh."""
+    import numpy as np
+    from muse_psfr_tpu import (compute_psf_from_sparta, create_sparta_table,
+                               HDUList, FitTable)
+    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
+    hdu = create_sparta_table(nlines=5)
+    res_m = compute_psf_from_sparta(HDUList([hdu.copy()]), lmin=700,
+                                    lmax=900, nl=2, cfg=cfg,
+                                    mesh=default_mesh(), chunk=8)
+    res_s = compute_psf_from_sparta(HDUList([hdu]), lmin=700, lmax=900,
+                                    nl=2, cfg=cfg)
+    a = FitTable.from_hdu(res_m["FIT_ROWS"])
+    b = FitTable.from_hdu(res_s["FIT_ROWS"])
+    assert_allclose(a["fwhm"], b["fwhm"], atol=1e-12)
+    assert_allclose(res_m["PSF_MEAN"].data, res_s["PSF_MEAN"].data,
+                    atol=1e-12)
