@@ -68,13 +68,16 @@ def main():
                  32 * 32, t))
 
     base = measure_baseline()
+    from muse_psfr_tpu.parallel.batch import fft_available
+    mode = "FFT" if fft_available() else "FFT-free fallback (MXU DFT)"
     lines = [
         "# Benchmark results",
         "",
-        f"Device: {dev}; dtype {cfg.dtype}; reference-cost proxy "
-        f"{base['rows_per_sec']:.4f} rows/s "
+        f"Device: {dev}; dtype {cfg.dtype}; transform mode: {mode}; "
+        f"reference-cost proxy {base['rows_per_sec']:.4f} rows/s "
         f"(float64 oracle, {base['ncpu']} CPU core(s)).",
         "",
+
         "| configuration | work items | wall time [s] | items/s | vs proxy |",
         "|---|---|---|---|---|",
     ]
