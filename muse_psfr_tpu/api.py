@@ -100,7 +100,7 @@ def compute_psf(lbda, seeing, GL, L0, npsflin=1, h=(100, 10000),
 def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
                     lmax=930, nl=35, npsflin=1, h=(100, 10000),
                     three_lgs_mode=False, cfg=DEFAULT_CONFIG, chunk=32,
-                    mesh=None):
+                    mesh=None, checkpoint=None):
     """Sensitivity sweep over a Cartesian (seeing, GL, L0) condition grid.
 
     Reconstructs and Moffat-fits the PSF for every combination of the
@@ -112,6 +112,10 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
     This covers the '32x32 condition sweep' production configuration; the
     reference has no equivalent (a sweep there is an external loop over
     ``compute_psf``, one process per row).
+
+    ``checkpoint``: optional ``.npy`` path — the packed fits completed so
+    far are (re)written after every chunk, so a long sweep interrupted
+    mid-run loses at most one chunk of work.
     """
     from .fit.moffat_fit import unpack_fit
     from .utils.profiling import maybe_trace, stage_timer
@@ -128,10 +132,19 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
     if three_lgs_mode:
         gs_mask[:, 3] = 0.0
 
+    on_chunk = None
+    if checkpoint is not None:
+        done = []
+
+        def on_chunk(start, packed_np):  # noqa: F811
+            done.append(packed_np)
+            np.save(checkpoint, np.concatenate(done, axis=0))
+
     with maybe_trace("condition_sweep"), stage_timer("condition_sweep"):
         fit_d, _, _ = process_batch(ss.ravel(), gg.ravel(), ll.ravel(),
                                     gs_mask, lbda, h=h, npsflin=npsflin,
-                                    cfg=cfg, chunk=chunk, mesh=mesh)
+                                    cfg=cfg, chunk=chunk, mesh=mesh,
+                                    on_chunk=on_chunk)
         packed = np.asarray(fit_d)
     shape = ss.shape + (len(lbda),)
     fit = unpack_fit(packed.reshape(shape + (packed.shape[-1],)))

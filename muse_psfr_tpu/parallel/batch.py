@@ -162,7 +162,7 @@ def reconstruct_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
 def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                   npsflin: int = 1, cfg: GalacsiConfig = None,
                   chunk: int = 8, mesh: Mesh = None,
-                  fit_dtype: str = None):
+                  fit_dtype: str = None, on_chunk=None):
     """Full device-resident batch: reconstruct, Moffat-fit, and average.
 
     Returns ``(fit_packed, psf_mean, fit_mean_packed)`` — device arrays:
@@ -172,6 +172,11 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     small arrays ever cross the device->host link (which is slow on
     tunneled TPUs); the (B, nl, dimpsf, dimpsf) PSF cubes never leave the
     device.  Unpack with :func:`muse_psfr_tpu.fit.moffat_fit.unpack_fit`.
+
+    ``on_chunk(start_index, packed_numpy)`` is an optional incremental
+    sink called after each chunk completes (the reference has nothing
+    comparable; use it to checkpoint long sweeps — it pulls each chunk's
+    packed fits to the host, which costs one small transfer per chunk).
     """
     from ..fit.moffat_fit import fit_moffat_cube_packed
     cfg = cfg or GalacsiConfig()
@@ -185,6 +190,8 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
         fits.append(fit_moffat_cube_packed(psf, dtype=fit_dtype)[:n])
         s = jnp.sum(psf[:n], axis=0)
         total = s if total is None else total + s
+        if on_chunk is not None:
+            on_chunk(count, np.asarray(fits[-1]))
         count += n
 
     fit = jnp.concatenate(fits, axis=0) if len(fits) > 1 else fits[0]

@@ -54,3 +54,28 @@ def test_save_sweep_roundtrip(tmp_path):
     assert_allclose(back["BETA"].data, res["beta"])
     grid = back["GRID"].data
     assert_allclose(grid["SEEING"][0][:2], [0.8, 1.2])
+
+
+def test_sweep_checkpoint(tmp_path):
+    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
+    ckpt = str(tmp_path / "sweep_ckpt.npy")
+    res = condition_sweep([0.8, 1.0, 1.2], [0.7], [25.0], lbda=[800.0],
+                          cfg=cfg, chunk=2, checkpoint=ckpt)
+    import numpy as _np
+    packed = _np.load(ckpt)
+    assert packed.shape[0] == 3            # all chunks checkpointed
+    assert _np.allclose(packed[..., 10].reshape(res["beta"].shape),
+                        res["beta"])
+
+
+def test_extreme_conditions_do_not_poison_batch():
+    """A garbage row in a batch must not affect the other rows."""
+    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
+    from muse_psfr_tpu import reconstruct_batch
+    lbda = np.array([800.0])
+    good = reconstruct_batch([1.0], [0.7], [25.0], np.ones((1, 4)), lbda,
+                             cfg=cfg)
+    mixed = reconstruct_batch([1.0, 3.5], [0.7, 0.999], [25.0, 9.1],
+                              np.ones((2, 4)), lbda, cfg=cfg, chunk=2)
+    assert_allclose(mixed[0], good[0], atol=1e-12)
+    assert np.all(np.isfinite(mixed))
