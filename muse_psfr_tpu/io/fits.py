@@ -317,7 +317,24 @@ def _read_bintable(stream, hdr):
     stream.seek(int(hdr.get("PCOUNT", 0)), io.SEEK_CUR)
     _skip_padding(stream, nbytes)
     data = np.frombuffer(raw, dtype=dtype, count=nrows)
-    return data.astype(dtype.newbyteorder("="))  # native byte order copy
+    data = data.astype(dtype.newbyteorder("="))  # native byte order copy
+    # logical columns are stored as ASCII 'T'/'F' bytes -> bool
+    logical = {nm for nm, tf in zip(names, formats)
+               if _parse_tform(tf)[1] == "L"}
+    if logical:
+        fields = []
+        for nm in names:
+            ft = data.dtype.fields[nm][0]
+            base, shape = ((ft.subdtype[0], ft.subdtype[1])
+                           if ft.subdtype is not None else (ft, ()))
+            if nm in logical:
+                base = np.dtype(np.bool_)
+            fields.append((nm, base, shape) if shape else (nm, base))
+        conv = np.empty(nrows, dtype=np.dtype(fields))
+        for nm in names:
+            conv[nm] = (data[nm] == ord("T")) if nm in logical else data[nm]
+        return conv
+    return data
 
 
 def _read_image(stream, hdr):
@@ -445,7 +462,8 @@ def _bintable_bytes(hdu):
             base, shape = ft.subdtype
         else:
             base = ft
-        be = base.newbyteorder(">")
+        # logical columns are one 'T'/'F' byte each on disk
+        be = np.dtype("u1") if base.kind == "b" else base.newbyteorder(">")
         fields.append((nm, be, shape) if shape else (nm, be))
     disk_dtype = np.dtype(fields)
     disk = np.empty(len(data), dtype=disk_dtype)
@@ -477,6 +495,13 @@ def _bintable_bytes(hdu):
                 key.startswith(("TTYPE", "TFORM", "TDIM")):
             continue
         h[key] = val
+
+    # logical columns: bool -> ASCII 'T'/'F' bytes (FITS standard)
+    for nm in names:
+        ft = data.dtype.fields[nm][0]
+        base = ft.subdtype[0] if ft.subdtype is not None else ft
+        if base.kind == "b":
+            disk[nm] = np.where(data[nm], ord("T"), ord("F"))
 
     raw = disk.tobytes()
     pad = (-len(raw)) % BLOCK

@@ -88,3 +88,56 @@ def test_hierarch_header_roundtrip():
     hh = hdul[0].header
     assert hh.get("ESO OBS NAME") == "obs1"
     assert hh.get("ESO TEL AIRM START") == 1.13
+
+
+def test_logical_column_roundtrip():
+    """Logical ('L') columns use ASCII T/F bytes on disk (FITS standard)."""
+    arr = np.empty(3, dtype=np.dtype([("FLAG", np.bool_), ("V", "f8")]))
+    arr["FLAG"] = [True, False, True]
+    arr["V"] = [1.0, 2.0, 3.0]
+    hdul = _roundtrip(HDUList([PrimaryHDU(),
+                               BinTableHDU(data=arr, name="T")]))
+    back = hdul["T"].data
+    assert back["FLAG"].dtype.kind == "b"
+    assert list(back["FLAG"]) == [True, False, True]
+    # on-disk bytes really are 'T'/'F'
+    import io as _io
+    buf = _io.BytesIO()
+    HDUList([PrimaryHDU(), BinTableHDU(data=arr, name="T")]).writeto(buf)
+    raw = buf.getvalue()
+    assert b"T" in raw[2880 * 2:] and b"F" in raw[2880 * 2:]
+
+
+def test_random_table_roundtrips():
+    """Property-style: random mixed-dtype tables survive a round trip."""
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        ncol = rng.integers(1, 6)
+        fields, cols = [], {}
+        for c in range(ncol):
+            name = "C%d" % c
+            kind = rng.integers(0, 4)
+            n = int(rng.integers(1, 9))
+            if kind == 0:
+                fields.append((name, "f8"))
+                cols[name] = rng.normal(size=n if c == 0 else len0)
+            elif kind == 1:
+                fields.append((name, "f4"))
+                cols[name] = rng.normal(size=n if c == 0 else len0).astype("f4")
+            elif kind == 2:
+                fields.append((name, "i8"))
+                cols[name] = rng.integers(-5, 5, size=n if c == 0 else len0)
+            else:
+                fields.append((name, "f8", (3,)))
+                cols[name] = rng.normal(size=((n if c == 0 else len0), 3))
+            if c == 0:
+                len0 = len(cols[name])
+        arr = np.empty(len0, dtype=np.dtype(fields))
+        for k, v in cols.items():
+            arr[k] = v
+        hdul = _roundtrip(HDUList([PrimaryHDU(),
+                                   BinTableHDU(data=arr, name="R")]))
+        back = hdul["R"].data
+        for k in cols:
+            assert_allclose(np.asarray(back[k], np.float64),
+                            np.asarray(arr[k], np.float64), rtol=1e-6)
