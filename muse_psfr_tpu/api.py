@@ -29,7 +29,7 @@ _FIT_COLUMNS = ("center", "flux", "fwhm", "n", "peak", "err_center",
                 "err_flux", "err_fwhm", "err_n", "err_peak")
 
 
-def _debug_condition_summary(seeing, GL, h):
+def _debug_condition_summary(seeing, GL, h, cfg):
     """Per-condition DEBUG parameter summary (reference psfrec.py:116-124).
 
     The wind speed follows the integer-altitude truncation quirk of the
@@ -38,12 +38,11 @@ def _debug_condition_summary(seeing, GL, h):
     if not logger.isEnabledFor(10):  # logging.DEBUG
         return
     from .psd.model import effective_wind_speed
-    from .config import DEFAULT_CONFIG
     cn2 = np.array([GL, 1 - GL])
     cn2 = cn2 / cn2.sum()
     hz = np.asarray(h, float)
     r0 = 0.976 * 0.5 / seeing / 4.85
-    vent = np.full(2, effective_wind_speed(h, DEFAULT_CONFIG))
+    vent = np.full(2, effective_wind_speed(h, cfg))
     logger.debug("r0 0.5um (zenith)        = %.2f", r0)
     logger.debug("r0 0.5um (line of sight) = %.2f", r0)
     logger.debug("Seeing   (line of sight) = %.2f", 0.987 * 0.5 / r0 / 4.85)
@@ -82,7 +81,7 @@ def compute_psf(lbda, seeing, GL, L0, npsflin=1, h=(100, 10000),
                     seeing, GL, L0)
         if three_lgs_mode:
             logger.info("Using three lasers mode")
-    _debug_condition_summary(seeing, GL, h)
+    _debug_condition_summary(seeing, GL, h, cfg)
     lbda = np.atleast_1d(np.asarray(lbda, float))
     gs_mask = np.array([[1.0, 1.0, 1.0, 0.0 if three_lgs_mode else 1.0]])
     psf = reconstruct_batch([seeing], [GL], [L0], gs_mask, lbda, h=h,

@@ -212,6 +212,13 @@ def simul_psd_wfm(Cn2, h, seeing, L0, zenith=0., plot=False, npsflin=1,
         logger.info("Using three lasers mode")
     cfg = DEFAULT_CONFIG.with_(dtype="float64", dim=int(dim))
     Cn2 = np.asarray(Cn2, float)
+    if Cn2.size != 2 or np.asarray(h).size != 2:
+        # the reference has the same limitation: its wind-direction array
+        # is pinned to two IDL values (psfrec.py:66), so any profile with
+        # != 2 layers crashes there with a broadcast error (verified)
+        raise NotImplementedError(
+            "only two-layer (ground + high) Cn2/h profiles are supported, "
+            "as in the reference implementation")
     GL = Cn2[0] / Cn2.sum()
     gs_mask = jnp.array([1.0, 1.0, 1.0, 0.0 if three_lgs_mode else 1.0],
                         jnp.float64)

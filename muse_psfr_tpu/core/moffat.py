@@ -17,6 +17,17 @@ def moffat_kernel(alpha, beta, size: int, dtype=jnp.float32):
     ``Moffat2DKernel(gamma=alpha, alpha=beta)`` with mode='center' as
     consumed by the reference (psfrec.py:916, 927).  ``alpha``/``beta`` may
     be traced scalars.
+
+    On the normalisation convention: astropy kernels choose the amplitude
+    so the *continuous* integral is 1 and record the discrete deficit in
+    ``kernel._truncation = |1 - array.sum()|`` (which would always be 0 if
+    the array were renormalised at construction); discrete renormalisation
+    only happens via an explicit ``kernel.normalize()`` or
+    ``convolve(..., normalize_kernel=True)``, neither of which the
+    reference uses — it feeds ``kernel.array`` straight into
+    ``scipy.signal.fftconvolve`` (psfrec.py:917, 928).  The absolute PSF
+    scale (flux/peak columns, PSF_MEAN values) depends on this; FWHM/beta
+    do not.
     """
     c = (size - 1) / 2.0
     y = (np.arange(size) - c)[:, None]

@@ -45,8 +45,17 @@ class Header:
                 self.append(*c)
 
     # -- mapping-ish API ----------------------------------------------------
-    def _find(self, key):
+    @staticmethod
+    def _norm_key(key):
+        """Keyword lookup form: the optional 'HIERARCH ' prefix is not part
+        of the keyword (astropy accepts both spellings)."""
         key = key.upper()
+        if key.startswith("HIERARCH "):
+            key = key[9:]
+        return key
+
+    def _find(self, key):
+        key = self._norm_key(key)
         for i, (k, _, _) in enumerate(self._cards):
             if k == key:
                 return i
@@ -71,12 +80,12 @@ class Header:
             value, comment = value
         i = self._find(key)
         if i >= 0:
-            self._cards[i] = (key.upper(), value, comment)
+            self._cards[i] = (self._norm_key(key), value, comment)
         else:
-            self._cards.append((key.upper(), value, comment))
+            self._cards.append((self._norm_key(key), value, comment))
 
     def append(self, key, value, comment=""):
-        self._cards.append((key.upper(), value, comment))
+        self._cards.append((self._norm_key(key), value, comment))
 
     def remove(self, key):
         i = self._find(key)
@@ -417,6 +426,9 @@ def _image_header(data, primary, extra=None, name=""):
     else:
         h.append("XTENSION", "IMAGE", "Image extension")
     key = None if data is None else dt.kind + str(dt.itemsize)
+    if data is not None and key not in _DTYPE_TO_BITPIX:
+        raise TypeError("unsupported image dtype %r (supported: uint8, "
+                        "int16/32/64, float32/64)" % (dt,))
     h.append("BITPIX", _DTYPE_TO_BITPIX.get(key, 8), "array data type")
     h.append("NAXIS", 0 if data is None else data.ndim,
              "number of array dimensions")

@@ -65,11 +65,15 @@ def wfs_transfer(f, f_x, f_y, pitch, strict, cdtype):
     return jnp.where(kill, 0.0, amp).astype(cdtype) * 1j
 
 
-def gs_phasors(f_x, f_y, poslgs_amin, gs_mask, cdtype):
-    """Per-guide-star pupil-plane phase slopes (nb_gs, s, s) [rad/m alt]."""
-    ph = (f_x[None] * poslgs_amin[0, :, None, None] +
-          f_y[None] * poslgs_amin[1, :, None, None]) * ARCMIN_TO_RAD
-    return ph * gs_mask[:, None, None]
+def gs_phasors(f_x, f_y, poslgs_amin, cdtype):
+    """Per-guide-star pupil-plane phase slopes (nb_gs, s, s) [rad/m alt].
+
+    Guide-star masking is applied once, on the model matrices M/Mv (the
+    load-bearing site): a masked star's M row is exactly zero, which
+    reproduces the true 3-star algebra.
+    """
+    return (f_x[None] * poslgs_amin[0, :, None, None] +
+            f_y[None] * poslgs_amin[1, :, None, None]) * ARCMIN_TO_RAD
 
 
 def glao_reconstructor(f, f_x, f_y, poslgs_amin, gs_mask, sigr, pitch,
@@ -85,7 +89,7 @@ def glao_reconstructor(f, f_x, f_y, poslgs_amin, gs_mask, sigr, pitch,
     w = wfs_transfer(f, f_x, f_y, pitch, strict=False, cdtype=cdtype)
     if w.ndim == 2:
         w = w[None]                      # shared transfer fn -> (1, s, s)
-    ph = gs_phasors(f_x, f_y, poslgs_amin, gs_mask, cdtype)
+    ph = gs_phasors(f_x, f_y, poslgs_amin, cdtype)
     M = (w * jnp.exp(2j * np.pi * h_recons * ph)
          * gs_mask[:, None, None])
     num = M.conj() / sigr[:, None, None]
@@ -112,7 +116,7 @@ def residual_psd_one_dir(f, f_x, f_y, poslgs_amin, gs_mask, beta_amin, sigv,
     w = wfs_transfer(f, f_x, f_y, pitch, strict=True, cdtype=cdtype)
     if w.ndim == 2:
         w = w[None]                      # shared transfer fn -> (1, s, s)
-    ph = gs_phasors(f_x, f_y, poslgs_amin, gs_mask, cdtype)    # (g, s, s)
+    ph = gs_phasors(f_x, f_y, poslgs_amin, cdtype)    # (g, s, s)
 
     # model matrix for the true profile, with the servo-lag sinc
     # (l = true layer, g = guide star)

@@ -65,3 +65,12 @@ def test_zenith_scaling():
     ratio = np.cos(np.deg2rad(60.0)) ** (-1.0)
     sl = slice(0, 100)  # pure fitting-error region scales exactly
     assert_allclose(p60[0, sl, sl] / p0[0, sl, sl], ratio, rtol=1e-10)
+
+
+def test_simul_psd_wfm_rejects_non_two_layer_profiles():
+    """The reference crashes with a broadcast error for != 2 layers (its
+    wind-direction array is pinned to two IDL values); we raise clearly."""
+    import pytest
+    with pytest.raises(NotImplementedError):
+        ref_api.simul_psd_wfm([0.5, 0.3, 0.2], (0, 5000, 10000), 1.0, 25.0,
+                              verbose=False)

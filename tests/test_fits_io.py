@@ -141,3 +141,22 @@ def test_random_table_roundtrips():
         for k in cols:
             assert_allclose(np.asarray(back[k], np.float64),
                             np.asarray(arr[k], np.float64), rtol=1e-6)
+
+
+def test_hierarch_prefix_lookup():
+    """Both astropy spellings must resolve: with and without 'HIERARCH '."""
+    h = Header()
+    h["HIERARCH ESO OBS NAME"] = "obs2"
+    assert h["ESO OBS NAME"] == "obs2"
+    assert h["HIERARCH ESO OBS NAME"] == "obs2"
+    assert h.get("HIERARCH ESO TEL AIRM START", 0) == 0
+    hdul = _roundtrip(HDUList([PrimaryHDU(header=h)]))
+    assert hdul[0].header.get("HIERARCH ESO OBS NAME") == "obs2"
+
+
+def test_unsupported_image_dtype_raises():
+    import pytest
+    with pytest.raises(TypeError):
+        HDUList([PrimaryHDU(),
+                 ImageHDU(data=np.arange(6, dtype=np.uint16).reshape(2, 3))
+                 ]).writeto(io.BytesIO())
