@@ -107,6 +107,18 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     from ..psd.model import effective_wind_speed
     cfg = resolve_fft_mode(cfg or GalacsiConfig())
     wind_speed = effective_wind_speed(h, cfg)
+
+    # the lambda-dependent crop must fit inside the PSD grid; the bluest
+    # wavelength sets the largest crop (reference psfrec.py:663-664 slices
+    # out of bounds there, failing with a confusing shape error)
+    lb_np = np.atleast_1d(np.asarray(lbda, dtype=np.float64))
+    npixc_max = int(np.round((cfg.dimpsf * cfg.pixscale * 2.0 * cfg.dpup
+                              * 4.85 * 1000.0 / lb_np.min()) / 2.0) * 2.0)
+    if npixc_max > cfg.dim:
+        raise ValueError(
+            f"wavelength {lb_np.min():.1f} nm needs a {npixc_max} px crop, "
+            f"larger than the {cfg.dim}^2 PSD grid; raise cfg.dim or the "
+            f"minimum wavelength")
     h_arr = jnp.asarray(np.asarray(h, dtype=np.float64), cfg.dtype)
     lbda = jnp.asarray(lbda, cfg.dtype)
     seeing = np.atleast_1d(np.asarray(seeing, dtype=np.float64))

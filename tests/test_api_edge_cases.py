@@ -79,3 +79,14 @@ def test_extreme_conditions_do_not_poison_batch():
                               np.ones((2, 4)), lbda, cfg=cfg, chunk=2)
     assert_allclose(mixed[0], good[0], atol=1e-12)
     assert np.all(np.isfinite(mixed))
+
+
+def test_too_blue_wavelength_raises():
+    """A wavelength whose crop exceeds the PSD grid fails with a clear
+    message (the reference fails there with an opaque shape error)."""
+    import pytest
+    from muse_psfr_tpu import reconstruct_batch, GalacsiConfig
+    with pytest.raises(ValueError, match="crop"):
+        reconstruct_batch([1.0], [0.7], [25.0], np.ones((1, 4)),
+                          np.array([450.0]),
+                          cfg=GalacsiConfig(dtype="float64"))
