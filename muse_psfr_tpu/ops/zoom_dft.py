@@ -73,6 +73,10 @@ def fused_exp_zoom(dphi, dl, a2, alpha, weight, tile_j: int = 256):
             out_specs=pl.BlockSpec((m2, tile_j), lambda j, s: (0, j)),
         ),
         out_shape=jax.ShapeDtypeStruct((m2, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            # output column tiles are disjoint across grid steps
+            dimension_semantics=("parallel",),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m2 * n * n,
             bytes_accessed=2 * 4 * n * n + 2 * 4 * m2 * n,
