@@ -40,6 +40,10 @@ class GalacsiConfig:
     dimpsf: int = 40           # output PSF cube size [px]
     pixscale: float = 0.2      # output PSF pixel scale [arcsec/px]
     samp: float = 2.0          # PSF sampling (Nyquist)
+    lambda_chunk: int = 7      # wavelengths processed per OTF step: the
+                               # serial per-lambda loop underutilises the
+                               # chip (4.3x measured); each step holds
+                               # ~rows*lambda_chunk*ndir*dim^2 floats
 
     # --- telemetry validity limits (reference psfrec.py:30-31) ------------
     min_l0: float = 8.0        # minimum valid outer scale [m]

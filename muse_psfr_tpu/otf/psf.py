@@ -349,4 +349,22 @@ def psf_cube(psd, lbda_nm, cfg: GalacsiConfig):
             out = _bilinear_regrid(psf, start, step, cfg.dimpsf)
         return out / jnp.sum(out)
 
-    return jax.lax.map(one_lambda, (lbda_nm.astype(dtype), npixc))
+    nl = lbda_nm.shape[0]
+    k = max(1, min(cfg.lambda_chunk, nl))
+    if jax.default_backend() == "cpu":
+        k = 1  # no parallel gain on one host core; chunking only adds memory
+    if pallas_ok or k == 1:
+        # the Pallas backend stays on the serial per-lambda loop (nested
+        # vmap of a pallas_call is not exercised)
+        return jax.lax.map(one_lambda, (lbda_nm.astype(dtype), npixc))
+
+    # chunked wavelengths: vmap K lambdas per step — a serial per-lambda
+    # scan underutilises the chip by ~4x at production sizes
+    pad = (-nl) % k
+    lb = jnp.concatenate([lbda_nm.astype(dtype),
+                          jnp.broadcast_to(lbda_nm[-1].astype(dtype), (pad,))])
+    npx = jnp.concatenate([npixc, jnp.broadcast_to(npixc[-1], (pad,))])
+    f = jax.vmap(lambda a, b: one_lambda((a, b)))
+    res = jax.lax.map(lambda args: f(*args),
+                      (lb.reshape(-1, k), npx.reshape(-1, k)))
+    return res.reshape(-1, cfg.dimpsf, cfg.dimpsf)[:nl]
