@@ -1,0 +1,52 @@
+"""Utility-layer tests: logging, profiling, tables."""
+
+import logging
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from muse_psfr_tpu.io.table import FitTable
+from muse_psfr_tpu.utils.log import setup_logging, get_logger, LOGGER_NAME
+from muse_psfr_tpu.utils.profiling import stage_timer, maybe_trace
+
+
+def test_setup_logging_idempotent():
+    lg = setup_logging()
+    n = len(lg.handlers)
+    lg2 = setup_logging()
+    assert lg2 is lg and len(lg2.handlers) == n == 1
+    assert get_logger("x").name == LOGGER_NAME + ".x"
+
+
+def test_stage_timer_logs_at_debug(caplog):
+    with caplog.at_level(logging.DEBUG, logger=LOGGER_NAME):
+        with stage_timer("unit-test-stage"):
+            pass
+    assert any("unit-test-stage" in r.message for r in caplog.records)
+
+
+def test_maybe_trace_noop_without_env(monkeypatch):
+    monkeypatch.delenv("MUSE_PSFR_PROFILE_DIR", raising=False)
+    with maybe_trace("x"):
+        pass  # must not require a profiler session
+
+
+def test_fit_table_row_access_and_scalar_broadcast():
+    t = FitTable()
+    t["a"] = np.array([1.0, 2.0, 3.0])
+    t["b"] = 7.5                      # scalar broadcast to column length
+    assert len(t) == 3
+    assert_allclose(t["b"], [7.5, 7.5, 7.5])
+    row = t[1]
+    assert row["a"] == 2.0 and row["b"] == 7.5
+    with pytest.raises(ValueError):
+        t["c"] = np.array([1.0, 2.0])  # wrong length
+
+
+def test_fit_table_vstack_preserves_order():
+    t1 = FitTable({"x": np.array([1.0]), "y": np.array([[1.0, 2.0]])})
+    t2 = FitTable({"x": np.array([3.0]), "y": np.array([[3.0, 4.0]])})
+    out = FitTable.vstack([t1, t2])
+    assert out.colnames == ["x", "y"]
+    assert_allclose(out["y"], [[1.0, 2.0], [3.0, 4.0]])
