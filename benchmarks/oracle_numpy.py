@@ -227,7 +227,6 @@ def simulate_psd(cn2, h, seeing, L0, npsflin=1, dim=1280,
     poslgs_amin = poslgs / 60.0
     dirperf_amin = dirperf / 60.0
 
-    dsp_recons = vk_psd(f, r0ref, L0)[None]            # recons_cn2 = 1
     dsp_layers = vk_psd(f, cn2[:, None, None] ** (-3 / 5) * r0ref, L0)
 
     sigr = np.full(nb_gs, NOISE_LGS2)

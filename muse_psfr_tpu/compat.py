@@ -11,8 +11,11 @@ Reference citations are per function; reference source is
 ``muse_psfr/psfrec.py`` unless stated.
 """
 
+import functools
 import logging
+from contextlib import nullcontext
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -27,18 +30,56 @@ from .fit.moffat_fit import fit_moffat_cube
 from .fit.polynom import fit_psf_with_polynom  # noqa: F401
 from .io.sparta import create_sparta_table  # noqa: F401
 from .otf.convolve import convolve_final
-from .otf.psf import psf_cube, psd_to_psf  # noqa: F401
+from .otf.psf import psf_cube, psd_to_psf as _psd_to_psf_impl
 from .plotting import plot_psf, radial_profile, plot_directions  # noqa: F401
 from .psd import model as _m
 
 logger = logging.getLogger("muse_psfr.compat")
 
 
+def _x64_context():
+    """Locally enable 64-bit JAX types where the backend supports them.
+
+    The reference runs float64 end-to-end; this shim's parity contract is
+    float64, but a fresh interpreter has ``jax_enable_x64`` off and JAX
+    silently truncates requested float64 arrays to float32.  On CPU (the
+    only backend with hardware float64 here) every compat computation runs
+    under an x64 scope; on TPU the float32 pipeline is used as-is
+    (documented precision: ~2e-6 rms, budget 1e-5).
+    """
+    if jax.default_backend() != "cpu":
+        return nullcontext()
+    try:
+        from jax._src.config import enable_x64
+        return enable_x64(True)
+    except Exception:  # pragma: no cover - fallback for future jax versions
+        jax.config.update("jax_enable_x64", True)
+        return nullcontext()
+
+
+def reference_precision(fn):
+    """Run a compat function under the reference's float64 precision."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with _x64_context():
+            return fn(*args, **kwargs)
+    return wrapper
+
+
+@reference_precision
+def psd_to_psf(*args, **kwargs):
+    """General PSD->PSF forward model at reference (float64) precision
+    where the backend allows (see muse_psfr_tpu.otf.psf.psd_to_psf)."""
+    return _psd_to_psf_impl(*args, **kwargs)
+
+
+@reference_precision
 def seeing2r01(seeing, lbda, zenith):
     """Fried parameter from seeing (reference psfrec.py:183-187)."""
     return np.asarray(_m.seeing_to_r0(seeing, lbda, zenith), float)
 
 
+@reference_precision
 def pupil_mask(radius, width, oc=0, inverse=False):
     """Annular pupil mask, int array (reference psfrec.py:190-203)."""
     return np.asarray(_pupil_mask_f(radius, int(width), oc, inverse,
@@ -53,12 +94,14 @@ def direction_perf(npts, field_size=60, plot=False, lgs=None, ngs=None,
     return direction_grid(npts, field_size)
 
 
+@reference_precision
 def calc_var_from_psd(psd, pixsize, Dpup):
     """Residual variance excluding the 1/D box (psfrec.py:206-215)."""
     return float(_m.residual_variance(jnp.asarray(psd, jnp.float64),
                                       pixsize, Dpup))
 
 
+@reference_precision
 def psd_fit(dim, L, r0, L0, fc):
     """Fitting-error PSD, FFT-ordered (reference psfrec.py:616-626)."""
     from .core.grids import centered_freq_radius
@@ -93,6 +136,7 @@ def _grids_from_ref(f, arg_f):
     return f, f * jnp.cos(arg_f), f * jnp.sin(arg_f)
 
 
+@reference_precision
 def calc_mat_rec_glao_finale(f, arg_f, pitchs_wfs, pitchs_dm, poslgs, sigr,
                              DSP_tab_recons, h_recons, LSE=False):
     """GLAO/tomographic reconstructor (reference psfrec.py:218-364).
@@ -122,6 +166,7 @@ def calc_mat_rec_glao_finale(f, arg_f, pitchs_wfs, pitchs_dm, poslgs, sigr,
     return np.asarray(W)[:, None]
 
 
+@reference_precision
 def calc_dsp_res_glao_finale(f, arg_f, pitchs_wfs, poslgs, beta, sigv,
                              DSP_tab_vrai, h_vrai, h_dm, Wmap, td, ti, wind,
                              tempo=False, fitting=False, err_recons=None,
@@ -153,6 +198,7 @@ def calc_dsp_res_glao_finale(f, arg_f, pitchs_wfs, poslgs, beta, sigv,
     return np.where((fn != 0) & (abs(fxn) <= fc) & (abs(fyn) <= fc), res, 0)
 
 
+@reference_precision
 def dsp4muse(Dpup, pupdim, dimall, Cn2, hh, L0, r0ref, recons_cn2, h_recons,
              vent, arg_v, law, nsspup, nact, Fsamp, delay, bruitLGS2,
              lambdaref, poslgs, dirperf):
@@ -205,6 +251,7 @@ def dsp4muse(Dpup, pupdim, dimall, Cn2, hh, L0, r0ref, recons_cn2, h_recons,
     return np.swapaxes(out, -1, -2)
 
 
+@reference_precision
 def simul_psd_wfm(Cn2, h, seeing, L0, zenith=0., plot=False, npsflin=1,
                   dim=1280, three_lgs_mode=False, verbose=True):
     """Full-grid residual PSD per direction [nm^2] (psfrec.py:36-151)."""
@@ -231,6 +278,7 @@ def simul_psd_wfm(Cn2, h, seeing, L0, zenith=0., plot=False, npsflin=1,
     return np.asarray(out, float)
 
 
+@reference_precision
 def psf_muse(psd, lambdamuse):
     """PSD cube -> PSF cube at the MUSE sampling (psfrec.py:644-686)."""
     lam = np.atleast_1d(np.asarray(lambdamuse, float))
@@ -240,6 +288,7 @@ def psf_muse(psd, lambdamuse):
     return np.asarray(out, float)
 
 
+@reference_precision
 def muse_intrinsic_psf(lbda):
     """MUSE intrinsic Moffat polynomials (psfrec.py:1144-1171)."""
     fwhm, beta, fwhm_std, beta_std = _intrinsic(jnp.asarray(lbda, jnp.float64))
@@ -247,6 +296,7 @@ def muse_intrinsic_psf(lbda):
             np.asarray(fwhm_std, float), np.asarray(beta_std, float))
 
 
+@reference_precision
 def convolve_final_psf(lbda, seeing, GL, L0, psf):
     """Tip-tilt + instrument convolutions (psfrec.py:874-930)."""
     lam = np.atleast_1d(np.asarray(lbda, float))
@@ -256,6 +306,7 @@ def convolve_final_psf(lbda, seeing, GL, L0, psf):
     return np.asarray(out, float)
 
 
+@reference_precision
 def fit_psf_cube(lbda, psfcube):
     """Circular Moffat fit of every wavelength plane (psfrec.py:861-871).
 

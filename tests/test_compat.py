@@ -99,3 +99,27 @@ def test_psd_fit_and_var():
     assert out[128, 128] > 0.0
     v = ref_api.calc_var_from_psd(out, 1.0 / 16, 8.0)
     assert v > 0
+
+
+def test_shim_is_float64_without_global_x64(monkeypatch):
+    """The drop-in shim must deliver reference (float64) precision even
+    when the caller never enabled jax_enable_x64 globally: the compat
+    layer scopes x64 locally on CPU backends."""
+    import subprocess, sys, os
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "import muse_psfr\n"
+        "psd = muse_psfr.simul_psd_wfm([0.7,0.3],(100,10000),1.0,25.0,"
+        "verbose=False)\n"
+        "from benchmarks import oracle_numpy as orc\n"
+        "ref = orc.simulate_psd([0.7,0.3],(100,10000),1.0,25.0)\n"
+        "rel = np.abs(psd-ref).max()/ref.max()\n"
+        "assert rel < 1e-12, rel\n"
+        "assert not jax.config.jax_enable_x64\n"  # no global leakage
+    ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]

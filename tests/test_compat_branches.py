@@ -40,8 +40,9 @@ def test_dsp_res_tempo_false_and_band_cut():
     fr, fx, fy = orc.freq_grids(80, 0.2)
     want = np.where((fr != 0) & (abs(fx) <= fc) & (abs(fy) <= fc), want, 0)
     assert np.abs(res - want).max() < 1e-9
-    # the cut really removes power
-    assert res[0, 41] == 0 or (np.abs(fx) > fc).any()
+    # the cut really removes power beyond fc (fx = 41/16 > 1.5 at [41, 0])
+    assert res[41, 0] == 0 and want[41, 0] == 0
+    assert res[4, 4] > 0          # inside the pass band
 
 
 def test_simul_psd_wfm_three_lgs_and_multidir():

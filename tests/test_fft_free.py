@@ -31,7 +31,9 @@ def test_fft_free_exact_in_float64():
 
 def test_fft_free_rms_in_float32():
     lb = np.linspace(490, 930, 35)
-    golden = np.load("tests/data/golden_psf_35l_s1.0_gl0.7_l025.npy")
+    import os
+    golden = np.load(os.path.join(os.path.dirname(__file__), "data",
+                                  "golden_psf_35l_s1.0_gl0.7_l025.npy"))
     out = _run(GalacsiConfig(dtype="float32", use_fft=False), lb)
     rms = np.sqrt(np.mean((out.astype(np.float64) - golden) ** 2))
     assert rms < 1e-5
