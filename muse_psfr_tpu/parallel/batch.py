@@ -34,7 +34,7 @@ def reconstruct_one(seeing, GL, L0, gs_mask, lbda, h, wind_speed,
     return convolve_final(psf, lbda, seeing, GL, L0, cfg)
 
 
-@partial(jax.jit, static_argnames=("npsflin", "cfg"))
+@partial(jax.jit, static_argnames=("h", "wind_speed", "npsflin", "cfg"))
 def _reconstruct_vmapped(seeing, GL, L0, gs_mask, lbda, h, wind_speed,
                          npsflin, cfg):
     return jax.vmap(
@@ -119,7 +119,7 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
             f"wavelength {lb_np.min():.1f} nm needs a {npixc_max} px crop, "
             f"larger than the {cfg.dim}^2 PSD grid; raise cfg.dim or the "
             f"minimum wavelength")
-    h_arr = jnp.asarray(np.asarray(h, dtype=np.float64), cfg.dtype)
+    h_t = tuple(float(x) for x in np.asarray(h, dtype=np.float64).ravel())
     lbda = jnp.asarray(lbda, cfg.dtype)
     seeing = np.atleast_1d(np.asarray(seeing, dtype=np.float64))
     GL = np.atleast_1d(np.asarray(GL, dtype=np.float64))
@@ -150,7 +150,7 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
             return ja
 
         res = _reconstruct_vmapped(prep(seeing), prep(GL), prep(L0),
-                                   prep(gs_mask), lbda, h_arr,
+                                   prep(gs_mask), lbda, h_t,
                                    wind_speed, npsflin, cfg)
         yield n, res
 

@@ -167,7 +167,151 @@ def effective_wind_speed(h, cfg: GalacsiConfig) -> float:
     return float(np.full(2, cfg.wind_speed, dtype=np.asarray(h).dtype)[0])
 
 
-@partial(jax.jit, static_argnames=("npsflin", "cfg"))
+_STATIC_TRANSFER_CACHE = {}
+
+
+def _glao_static_transfer(h, wind_speed, npsflin, cfg: GalacsiConfig):
+    """Trace-time float64 GLAO transfer functions (NumPy, cached).
+
+    With the system geometry, altitudes, wind, noise, and loop timing all
+    fixed per configuration, the *entire* reconstruction machinery —
+    Shack-Hartmann transfer functions, the closed-form reconstructor, the
+    servo-lag model matrices and the direction projectors — is independent
+    of the telemetry (seeing, GL, L0).  The residual PSD then collapses to
+
+        PSD_d(f) = sum_l |proj_{l,d}(f)|^2 * VK_l(f)  +  noise_d(f)
+
+    where ``|proj|^2`` and ``noise`` are precomputed here in float64 for
+    both the 4- and 3-laser geometries (the reference's two cases,
+    psfrec.py:86-91), post IDL transpose and fftshift.  This removes the
+    float32 near-DC cancellation error of the projector algebra entirely —
+    the traced math is two multiply-adds of constants with the von Karman
+    spectra — and makes the correction-zone stage nearly free.
+    """
+    key = (h, wind_speed, npsflin, cfg.dimall, cfg.dpup, cfg.dim_pup,
+           cfg.sep_lgs, cfg.noise_lgs2, cfg.fsamp, cfg.delay_ms,
+           cfg.alt_dm, cfg.pitch, cfg.wind_dir_0, cfg.wind_dir_1)
+    if key in _STATIC_TRANSFER_CACHE:
+        return _STATIC_TRANSFER_CACHE[key]
+
+    s = cfg.dimall
+    c = 60.0 / 206265.0
+    fx = np.fft.fftfreq(s, cfg.dpup / cfg.dim_pup)[:, None]
+    fy = fx.T
+    f = np.hypot(fx, fy)
+    with np.errstate(all="ignore"):
+        t = np.where((fx == 0.0) & (fy == 0.0), 0.0, fy / fx)
+    arg = np.arctan(t)
+    f_x = f * np.cos(arg)
+    f_y = f * np.sin(arg)
+
+    h_arr = np.asarray(h, np.float64)
+    wind_dir = np.array([cfg.wind_dir_0, cfg.wind_dir_1])
+    wind = wind_speed * np.stack([np.cos(wind_dir), np.sin(wind_dir)])
+    dirs = direction_grid(npsflin) / 60.0                # (2, ndir)
+    ndir = dirs.shape[1]
+    nl = h_arr.size
+    td = cfg.delay_ms * 1e-3
+
+    def wfs_np(pitch, strict):
+        w = 2j * np.pi * f * np.sinc(pitch * f_x) * np.sinc(pitch * f_y)
+        fc = 1.0 / (2.0 * pitch)
+        if strict:
+            kill = ((f != 0) & (np.abs(f_x) > fc)) | (np.abs(f_y) > fc)
+        else:
+            kill = ((f != 0) & (np.abs(f_x) >= fc)) | (np.abs(f_y) >= fc)
+        return np.where(kill, 0.0, w)
+
+    out = {}
+    for tag, nb_gs in (("4", 4), ("3", 3)):
+        pos = lgs_positions(cfg.sep_lgs)[:, :nb_gs] / 60.0
+        sig = np.full(nb_gs, cfg.noise_lgs2)
+        ti = np.full(nb_gs, 1.0 / cfg.fsamp)
+
+        ph = (f_x[None] * pos[0, :, None, None] +
+              f_y[None] * pos[1, :, None, None]) * c      # (g, s, s)
+        w_rec = wfs_np(cfg.pitch, strict=False)
+        M = w_rec[None] * np.exp(2j * np.pi * cfg.alt_dm * ph)
+        num = M.conj() / sig[:, None, None]
+        den = np.sum((M * num).real, axis=0)
+        inv = np.where(den != 0, 1.0 / np.where(den == 0, 1.0, den), 0.0)
+        inv[0, 0] = 0.0
+        W = num * inv[None]                               # (g, s, s)
+
+        w_res = wfs_np(cfg.pitch, strict=True)
+        lag = np.sinc(wind[0, :, None, None, None] * ti[None, :, None, None]
+                      * f_x +
+                      wind[1, :, None, None, None] * ti[None, :, None, None]
+                      * f_y)
+        Mv = (lag * w_res[None, None] *
+              np.exp(2j * np.pi * h_arr[:, None, None, None] * ph[None]))
+
+        dT = ti.max() + td
+        proj2 = np.empty((nl, ndir, s, s))
+        noise = np.empty((ndir, s, s))
+        for d in range(ndir):
+            bdot = dirs[0, d] * f_x + dirs[1, d] * f_y
+            p_beta = np.exp(2j * np.pi * (
+                h_arr[:, None, None] * c * bdot[None]
+                - dT * (wind[0, :, None, None] * f_x
+                        + wind[1, :, None, None] * f_y)))
+            p_dm = np.exp(2j * np.pi * cfg.alt_dm * c * bdot)
+            p_w = p_dm[None] * W
+            p_model = np.einsum("gxy,lgxy->lxy", p_w, Mv)
+            proj2[:, d] = np.abs(p_beta - p_model) ** 2
+            noise[d] = np.sum(np.abs(p_w) ** 2 * sig[:, None, None], axis=0)
+        # DC zeroing (psfrec.py:490, 516): the [0,0] frequency of both terms
+        proj2[:, :, 0, 0] = 0.0
+        noise[:, 0, 0] = 0.0
+        # QUIRK: IDL row/column transpose, then DC to centre for the merge
+        proj2 = np.fft.fftshift(np.swapaxes(proj2, -1, -2), axes=(-2, -1))
+        noise = np.fft.fftshift(np.swapaxes(noise, -1, -2), axes=(-2, -1))
+        out["proj2_" + tag] = proj2
+        out["noise_" + tag] = noise
+
+    # |f|^2 on the (transposed, shifted) grid — |f| is symmetric under both
+    out["f2"] = np.fft.fftshift(f * f)
+    _STATIC_TRANSFER_CACHE[key] = out
+    return out
+
+
+@partial(jax.jit, static_argnames=("h", "wind_speed", "npsflin", "cfg"))
+def _simulate_psd_static(seeing, GL, L0, gs_mask, h, wind_speed,
+                         npsflin: int, cfg: GalacsiConfig, zenith=0.0):
+    dtype = jnp.dtype(cfg.dtype)
+    cn2 = jnp.stack([GL, 1.0 - GL]).astype(dtype)
+    cn2 = cn2 / jnp.sum(cn2)
+    r0ref = seeing_to_r0(seeing, cfg.lambda_ref, zenith).astype(dtype)
+
+    const = _glao_static_transfer(h, wind_speed, npsflin, cfg)
+    f2 = jnp.asarray(const["f2"], dtype)
+    # von Karman per layer: cst * cn2_l * r0^(-5/3) * (f^2 + L0^-2)^(-11/6)
+    # ((cn2^(-3/5) r0)^(-5/3) == cn2 * r0^(-5/3))
+    radial = 0.0229 * r0ref ** (-5.0 / 3.0) * \
+        (f2 + 1.0 / (L0 * L0)) ** (-11.0 / 6.0)          # (s, s)
+
+    def variant(tag):
+        proj2 = jnp.asarray(const["proj2_" + tag], dtype)  # (l, ndir, s, s)
+        noise = jnp.asarray(const["noise_" + tag], dtype)  # (ndir, s, s)
+        err = jnp.einsum("ldxy,l->dxy", proj2 * radial[None, None], cn2)
+        return err + noise
+
+    # the two reference geometries (psfrec.py:86-91); the mask's 4th entry
+    # selects between them exactly as in the reference's 3-laser mode
+    psd_dir = jnp.where(gs_mask[3] > 0.5, variant("4"), variant("3"))
+
+    f_full = jnp.asarray(centered_freq_radius(cfg.dim, 2.0 * cfg.dpup), dtype)
+    full = fitting_psd(f_full, r0ref, L0, cfg.fc)
+
+    s = cfg.dimall
+    lo = cfg.dim // 2 - cfg.dim_pup
+    block = jnp.maximum(full[lo:lo + s, lo:lo + s][None], psd_dir)
+    ndir = npsflin * npsflin
+    out = jnp.broadcast_to(full, (ndir, cfg.dim, cfg.dim))
+    out = jax.lax.dynamic_update_slice(out, block, (0, lo, lo))
+    return out * (cfg.lambda_ref * 1000.0 / (2 * np.pi)) ** 2
+
+
 def simulate_psd(seeing, GL, L0, gs_mask, h, wind_speed, npsflin: int,
                  cfg: GalacsiConfig, zenith=0.0):
     """Residual-phase PSD cube (ndir, dim, dim), image-centred, nm^2/freq^2.
@@ -175,58 +319,19 @@ def simulate_psd(seeing, GL, L0, gs_mask, h, wind_speed, npsflin: int,
     JAX equivalent of reference ``simul_psd_wfm`` (psfrec.py:36-151):
     correction-zone GLAO PSD merged (max) with the fitting-error PSD on the
     full grid, scaled to nm^2.  ``gs_mask`` is the float (4,) guide-star
-    validity mask replacing the reference's 3-LGS geometry switch;
-    ``wind_speed`` comes from :func:`effective_wind_speed`.  ``zenith``
-    [deg] only rescales the Fried parameter (the line-of-sight altitudes
-    are computed but unused in the reference, psfrec.py:109-112).
+    validity mask replacing the reference's 3-LGS geometry switch (its 4th
+    entry selects the 4- vs 3-laser geometry); ``wind_speed`` comes from
+    :func:`effective_wind_speed`; ``h`` must be concrete (it becomes part
+    of the float64 static transfer functions).  ``zenith`` [deg] only
+    rescales the Fried parameter (the line-of-sight altitudes are computed
+    but unused in the reference, psfrec.py:109-112).
     """
-    dtype = jnp.dtype(cfg.dtype)
-    cdtype = jnp.dtype(cfg.cdtype)
-    cn2 = jnp.stack([GL, 1.0 - GL]).astype(dtype)
-    cn2 = cn2 / jnp.sum(cn2)
-    h = jnp.asarray(h, dtype)
-
-    wind_dir = np.array([cfg.wind_dir_0, cfg.wind_dir_1])
-    wind = wind_speed * jnp.asarray(
-        np.stack([np.cos(wind_dir), np.sin(wind_dir)]), dtype)
-
-    r0ref = seeing_to_r0(seeing, cfg.lambda_ref, zenith).astype(dtype)
-
-    s = cfg.dimall
-    f, f_x, f_y = fft_freq_polar(s, cfg.dpup / cfg.dim_pup, dtype)
-    poslgs_amin = jnp.asarray(lgs_positions(cfg.sep_lgs) / 60.0, dtype)
-    dirs_amin = jnp.asarray(direction_grid(npsflin) / 60.0, dtype)
-
-    nb_gs = 4
-    sigr = jnp.full((nb_gs,), cfg.noise_lgs2, dtype)
-    ti = jnp.full((nb_gs,), 1.0 / cfg.fsamp, dtype)
-    td = cfg.delay_ms * 1e-3
-
-    dsp_layers = vk_psd(f[None], cn2[:, None, None] ** (-3 / 5) * r0ref, L0)
-    dsp_recons = None
     if not cfg.lse:
-        dsp_recons = vk_psd(f, r0ref, L0)
-
-    W = glao_reconstructor(f, f_x, f_y, poslgs_amin, gs_mask, sigr,
-                           cfg.pitch, cfg.alt_dm, cdtype,
-                           dsp_recons=dsp_recons)
-
-    psd_dir = jax.vmap(
-        lambda beta: residual_psd_one_dir(
-            f, f_x, f_y, poslgs_amin, gs_mask, beta, sigr, dsp_layers, h,
-            cfg.alt_dm, W, td, ti, wind, cfg.pitch, cdtype)
-    )(dirs_amin.T)                                   # (ndir, s, s)
-    # QUIRK (psfrec.py:611-613): IDL row/column convention
-    psd_dir = jnp.swapaxes(psd_dir, -1, -2)
-    # DC to centre for the merge
-    psd_dir = jnp.fft.fftshift(psd_dir, axes=(-2, -1))
-
-    f_full = jnp.asarray(centered_freq_radius(cfg.dim, 2.0 * cfg.dpup), dtype)
-    full = fitting_psd(f_full, r0ref, L0, cfg.fc)
-
-    lo = cfg.dim // 2 - cfg.dim_pup
-    block = jnp.maximum(full[lo:lo + s, lo:lo + s][None], psd_dir)
-    ndir = npsflin * npsflin
-    out = jnp.broadcast_to(full, (ndir, cfg.dim, cfg.dim))
-    out = jax.lax.dynamic_update_slice(out, block, (0, lo, lo))
-    return out * (cfg.lambda_ref * 1000.0 / (2 * np.pi)) ** 2
+        raise NotImplementedError(
+            "the batched pipeline is LSE-only (as shipped in the "
+            "reference); the MAP prior is available through "
+            "glao_reconstructor / the muse_psfr compat layer")
+    h_t = tuple(float(x) for x in np.asarray(h).ravel())
+    return _simulate_psd_static(seeing, GL, L0, gs_mask, h_t,
+                                float(wind_speed), npsflin, cfg,
+                                zenith=zenith)
