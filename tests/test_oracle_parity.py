@@ -81,3 +81,24 @@ def test_float32_psf_close_to_float64():
                                       jnp.float32(25.0), cfg32))
     rms = np.sqrt(np.mean((fin32.astype(np.float64) - fin64) ** 2))
     assert rms < 1e-5, f"float32 PSF rms drift {rms:.2e} exceeds 1e-5"
+
+
+def test_float32_worst_corner_accuracy():
+    """Cross-condition float32 accuracy guard: the excellent-seeing corner
+    (sharp PSF, small L0) is the hardest condition — it measured 1.45e-5
+    rms before the GLAO transfer functions became trace-time float64
+    constants, and must stay well inside the 1e-5 budget now."""
+    import os
+    from benchmarks.oracle_numpy import compute_psf_oracle
+    lb = np.linspace(490, 930, 35)
+    seeing, GL, L0 = 0.6, 0.3, 9.1
+    _, ref = compute_psf_oracle(lb, seeing, GL, L0)
+    cfg = GalacsiConfig(dtype="float32")
+    psd = simulate_psd(jnp.float32(seeing), jnp.float32(GL), jnp.float32(L0),
+                       jnp.ones(4, jnp.float32), (100.0, 10000.0), 12.0,
+                       1, cfg)
+    out = np.asarray(convolve_final(
+        psf_cube(psd, jnp.asarray(lb, jnp.float32), cfg),
+        jnp.asarray(lb, jnp.float32), seeing, GL, L0, cfg), np.float64)
+    rms = np.sqrt(np.mean((out - ref) ** 2))
+    assert rms < 2e-6, f"worst-corner float32 rms {rms:.2e}"
