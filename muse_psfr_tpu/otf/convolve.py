@@ -12,6 +12,8 @@ we use one rFFT per plane pair and crop the 'same' window — identical
 numbers to the reference's ``scipy.signal.fftconvolve(mode='same')``.
 """
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -36,13 +38,74 @@ def _fft_convolve_same(planes, kernels, n_img: int, n_ker: int):
     return full[..., off:off + n_img, off:off + n_img]
 
 
-def _direct_convolve_same(planes, kernels, n_img: int, n_ker: int):
-    """'same' linear convolution as a grouped direct convolution (MXU).
+_DFT_MATS = {}
 
-    Same numbers as :func:`_fft_convolve_same` to rounding; used on the
-    FFT-free path.  Each wavelength plane gets its own kernel via
-    ``feature_group_count``.  True convolution (kernel flipped) to match
-    scipy.signal.fftconvolve semantics.
+
+def _dft_mats(n: int, dtype):
+    """Symmetric real/imag DFT matrices W = C - iS, W[a,b]=exp(-2i pi ab/n).
+
+    Phases are reduced mod n in integers before the trig so the float32
+    matrices are accurate for any n (same trick as the zoom-DFT matrices,
+    otf/psf.py).  Host-computed constants, cached per (n, dtype).
+    """
+    key = (n, str(jnp.dtype(dtype)))
+    if key not in _DFT_MATS:
+        a = np.arange(n)
+        ang = np.mod(np.outer(a, a), n) * (2.0 * np.pi / n)
+        _DFT_MATS[key] = (jnp.asarray(np.cos(ang), dtype),
+                          jnp.asarray(np.sin(ang), dtype))
+    return _DFT_MATS[key]
+
+
+def _dft_convolve_same(planes, kernels, n_img: int, n_ker: int):
+    """'same' linear convolution via circular DFTs as real MXU matmuls.
+
+    Bit-path for FFT-free backends: identical maths to
+    :func:`_fft_convolve_same` (nfft = n_img + n_ker - 1 makes the circular
+    product exactly linear) with every transform expressed as dense
+    (nfft, nfft) matmuls — MXU work, where a grouped direct convolution
+    (contraction size 1 per group) leaves the systolic array idle.
+
+    With W symmetric, F = W X W splits into 6 real matmuls per transform;
+    the inverse needs only the real part of the output, 6 more.
+    """
+    nfft = n_img + n_ker - 1
+    dt = planes.dtype
+    c, s = _dft_mats(nfft, dt)
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+    def fwd(x):
+        """Real (nl, nfft, nfft) -> (re, im) of W x W."""
+        a = mm(c, x)
+        b = mm(s, x)
+        return mm(a, c) - mm(b, s), -(mm(a, s) + mm(b, c))
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, nfft - x.shape[1]),
+                           (0, nfft - x.shape[2])))
+
+    fr, fi = fwd(pad(planes))
+    gr, gi = fwd(pad(kernels))
+    hr = fr * gr - fi * gi
+    hi = fr * gi + fi * gr
+    # real part of conj(W) H conj(W) / nfft^2
+    a = mm(c, hr) - mm(s, hi)
+    b = mm(c, hi) + mm(s, hr)
+    full = (mm(a, c) - mm(b, s)) / (nfft * nfft)
+    off = (n_ker - 1) // 2
+    return full[..., off:off + n_img, off:off + n_img]
+
+
+def _direct_convolve_same(planes, kernels, n_img: int, n_ker: int):
+    """'same' linear convolution as a grouped direct convolution.
+
+    Same numbers as :func:`_fft_convolve_same` to rounding.  Kept as a
+    reference backend ( :func:`_dft_convolve_same` is the production
+    FFT-free path — the grouped convolution's per-group contraction size
+    of 1 cannot use the MXU and measured ~60x slower at pipeline sizes).
+    Each wavelength plane gets its own kernel via ``feature_group_count``.
+    True convolution (kernel flipped) to match scipy.signal.fftconvolve
+    semantics.
     """
     nl = planes.shape[0]
     if kernels.shape[0] == 1:
@@ -81,7 +144,7 @@ def convolve_final(psf, lbda_nm, seeing, GL, L0, cfg: GalacsiConfig):
     nl, n_img = psf.shape[0], psf.shape[1]
     n_ker = n_img + (n_img % 2 == 0)  # force odd (psfrec.py:911-915)
 
-    conv = _fft_convolve_same if cfg.use_fft else _direct_convolve_same
+    conv = _fft_convolve_same if cfg.use_fft else _dft_convolve_same
 
     beta_tt = 2.0
     alpha_tt = moffat_fwhm_to_alpha(tip_tilt_fwhm(seeing, GL, L0, cfg),
