@@ -79,7 +79,7 @@ def main():
     # at dispatch), so compiles are per-process here.
     import jax
     from muse_psfr_tpu.config import GalacsiConfig
-    from muse_psfr_tpu.parallel.batch import process_batch
+    from muse_psfr_tpu.parallel.batch import process_batch, pull_packed
 
     cfg = GalacsiConfig()
     lbda = np.linspace(490, 930, NL)
@@ -90,8 +90,9 @@ def main():
         fit, psf_mean, fit_mean = process_batch(
             seeing[:n], GL[:n], L0[:n], mask[:n], lbda,
             npsflin=1, cfg=cfg, chunk=chunk)
-        # pull what a user consumes: per-row fit params + the mean PSF
-        return np.asarray(fit), np.asarray(psf_mean), np.asarray(fit_mean)
+        # pull what a user consumes: per-row fit params + the mean PSF —
+        # one packed transfer (the tunneled link is latency-bound)
+        return pull_packed(fit, psf_mean, fit_mean)
 
     # warmup / compile at the full workload shape (covers the chunk
     # pipeline and the cross-chunk concatenation)

@@ -262,9 +262,12 @@ def compute_psf_from_sparta(filename, extname="SPARTA_ATM_DATA", npsflin=1,
     # --- batched reconstruction + batched fit (device resident; only the
     # packed fit parameters and the mean PSF cross the device->host link) --
     from .fit.moffat_fit import unpack_fit
+    from .parallel.batch import pull_packed
     fit_d, psf_mean_d, fit_mean_d = process_batch(
         seeing, GL, L0, gs_mask, lbda, h=h, npsflin=npsflin, cfg=cfg,
         chunk=chunk, mesh=mesh)
+    fit_d, psf_mean_d, fit_mean_d = pull_packed(fit_d, psf_mean_d,
+                                                fit_mean_d)
     fit = unpack_fit(fit_d)
 
     tables = []

@@ -58,6 +58,13 @@ class GalacsiConfig:
                                # direct-convolution path (exact, FFT-free —
                                # also the fallback when the TPU runtime's
                                # FFT custom call is unavailable)
+    matmul_precision: str = "highest"  # TPU f32 matmul passes for the OTF
+                               # transforms: "highest" = 6-pass (true f32,
+                               # 4.2e-8 rms vs the f64 oracle), "high" =
+                               # 3-pass bf16 (1.2e-6 rms, no measurable
+                               # pipeline speedup — the zoom stage is
+                               # HBM-bound), "default" = 1-pass bf16
+                               # (~1e-5 — fails the accuracy budget)
     use_pallas: bool = False   # fused exp+matmul Pallas kernel (TPU only,
                                # float32, single-direction).  Measured
                                # slightly slower than the XLA zoom path in

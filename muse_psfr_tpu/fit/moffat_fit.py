@@ -39,14 +39,15 @@ def _model_and_jac(p, yy, xx):
     dx = xx - cx
     rr = (dy * dy + dx * dx) / (alpha * alpha)
     u = 1.0 + rr
-    un = u ** (-n)
-    m = peak * un
-    common = peak * n * u ** (-n - 1.0)
+    lu = jnp.log(u)
+    un = jnp.exp(-n * lu)        # u ** (-n): one log + one exp for the
+    m = peak * un                # whole Jacobian (the fit is
+    common = peak * n * un / u   # transcendental-bound on the VPU)
     j_cy = common * 2.0 * dy / (alpha * alpha)
     j_cx = common * 2.0 * dx / (alpha * alpha)
     j_peak = un
     j_alpha = common * 2.0 * rr / alpha
-    j_n = -m * jnp.log(u)
+    j_n = -m * lu
     jac = jnp.stack([j_cy, j_cx, j_peak, j_alpha, j_n], axis=-1)
     return m, jac
 

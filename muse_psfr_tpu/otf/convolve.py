@@ -52,9 +52,11 @@ def _dft_mats(n: int, dtype):
     if key not in _DFT_MATS:
         a = np.arange(n)
         ang = np.mod(np.outer(a, a), n) * (2.0 * np.pi / n)
-        _DFT_MATS[key] = (jnp.asarray(np.cos(ang), dtype),
-                          jnp.asarray(np.sin(ang), dtype))
-    return _DFT_MATS[key]
+        # cache HOST arrays: caching a jnp array created inside a trace
+        # would leak a tracer into later traces
+        _DFT_MATS[key] = (np.cos(ang).astype(dtype), np.sin(ang).astype(dtype))
+    c, s = _DFT_MATS[key]
+    return jnp.asarray(c), jnp.asarray(s)
 
 
 def _dft_convolve_same(planes, kernels, n_img: int, n_ker: int):

@@ -91,6 +91,12 @@ def _centered_idft_matrices(dim: int, dtype):
     return jnp.asarray(c, dtype), jnp.asarray(s, dtype)
 
 
+def _mm(cfg: GalacsiConfig):
+    """Matmul with the configured TPU f32 precision (see config.py)."""
+    return partial(jnp.matmul,
+                   precision=jax.lax.Precision(cfg.matmul_precision))
+
+
 def dphi_base(psd, cfg: GalacsiConfig):
     """Wavelength-free structure function (ndir, dim, dim), image-centred.
 
@@ -115,7 +121,7 @@ def dphi_base(psd, cfg: GalacsiConfig):
     dtype = jnp.dtype(cfg.dtype)
     c, s = _centered_idft_matrices(dim, dtype)
     x = psd.astype(dtype)
-    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    mm = _mm(cfg)
     # centred Re(bg): C X C^T - S X S^T, batched over the direction axis
     re_bg = mm(mm(c, x), c.T) - mm(mm(s, x), s.T)
     bg00 = jnp.sum(x, axis=(-2, -1))[..., None, None] / (L * L)
@@ -199,7 +205,7 @@ def _psf_samples_zoom_pallas(dphi, dl, alpha, i0, t, nout: int, cfg):
     a2 = jnp.concatenate([ar, ai], axis=0)
     u = fused_exp_zoom(dphi, dl, a2, alpha, 1.0 / norm)
     m = 2 * nout
-    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    mm = _mm(cfg)
     p = mm(u[:m], ar.T) - mm(u[m:], ai.T)
     return _combine_bilinear(jnp.maximum(p, 0.0), t, nout)
 
@@ -218,9 +224,9 @@ def _psf_samples_zoom(mean_otf_centered, i0, t, nout: int, cfg):
     idx = jnp.concatenate([i0, i0 + 1])                 # (2*nout,)
     ar, ai = _zoom_dft_matrices(idx, dim, dtype)
     g = mean_otf_centered.astype(dtype)
-    # full-precision matmuls: TPU f32 matmul defaults to bfloat16 passes,
-    # which costs ~1e-5 absolute on the PSF — above the accuracy budget
-    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    # never 'default' precision here: TPU f32 matmul defaults to one
+    # bfloat16 pass, which costs ~1e-5 absolute on the PSF — the budget
+    mm = _mm(cfg)
     u_r = mm(ar, g)                                     # (2*nout, N)
     u_i = mm(ai, g)
     p = mm(u_r, ar.T) - mm(u_i, ai.T)                   # (2*nout, 2*nout)

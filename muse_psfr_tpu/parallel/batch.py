@@ -171,6 +171,27 @@ def reconstruct_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     return np.concatenate(outs, axis=0)
 
 
+def pull_packed(*arrays):
+    """Pull several device arrays to the host in ONE transfer.
+
+    The device->host link of a tunneled TPU is latency-bound (~37 ms per
+    pull regardless of size); concatenating the raveled arrays on device
+    and pulling once amortises that latency across all results.  Returns
+    the arrays as numpy, original shapes restored.
+    """
+    arrays = [jnp.asarray(a) for a in arrays]
+    shapes = [a.shape for a in arrays]
+    dt = jnp.result_type(*arrays)
+    flat = np.asarray(jnp.concatenate([jnp.ravel(a).astype(dt)
+                                       for a in arrays]))
+    out, off = [], 0
+    for s in shapes:
+        n = int(np.prod(s)) if s else 1
+        out.append(flat[off:off + n].reshape(s))
+        off += n
+    return out
+
+
 def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                   npsflin: int = 1, cfg: GalacsiConfig = None,
                   chunk: int = 8, mesh: Mesh = None,
