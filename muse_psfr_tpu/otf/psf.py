@@ -359,9 +359,7 @@ def psf_cube(psd, lbda_nm, cfg: GalacsiConfig):
     k = max(1, min(cfg.lambda_chunk, nl))
     if jax.default_backend() == "cpu":
         k = 1  # no parallel gain on one host core; chunking only adds memory
-    if pallas_ok or k == 1:
-        # the Pallas backend stays on the serial per-lambda loop (nested
-        # vmap of a pallas_call is not exercised)
+    if k == 1:
         return jax.lax.map(one_lambda, (lbda_nm.astype(dtype), npixc))
 
     # chunked wavelengths: vmap K lambdas per step — a serial per-lambda
