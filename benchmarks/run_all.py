@@ -25,7 +25,7 @@ def timed(fn, warm=True):
 def main():
     import jax
     from muse_psfr_tpu.config import GalacsiConfig
-    from muse_psfr_tpu.parallel.batch import process_batch
+    from muse_psfr_tpu.parallel.batch import process_batch, pull_packed
     from muse_psfr_tpu.api import condition_sweep
     from bench import build_rows, measure_baseline
 
@@ -35,26 +35,26 @@ def main():
 
     # 1. single condition, 3 lambda (the CLI config)
     lb3 = np.linspace(500, 900, 3)
-    t, _ = timed(lambda: [np.asarray(a) for a in process_batch(
-        [1.0], [0.7], [25.0], np.ones((1, 4)), lb3, cfg=cfg, chunk=1)])
+    t, _ = timed(lambda: pull_packed(*process_batch(
+        [1.0], [0.7], [25.0], np.ones((1, 4)), lb3, cfg=cfg, chunk=1)))
     rows.append(("single condition, 3 lambda (CLI)", 1, t))
 
     # 2. one row, full 35-lambda cube + fit
     lb35 = np.linspace(490, 930, 35)
-    t, _ = timed(lambda: [np.asarray(a) for a in process_batch(
-        [1.0], [0.7], [25.0], np.ones((1, 4)), lb35, cfg=cfg, chunk=1)])
+    t, _ = timed(lambda: pull_packed(*process_batch(
+        [1.0], [0.7], [25.0], np.ones((1, 4)), lb35, cfg=cfg, chunk=1)))
     rows.append(("one row x 35 lambda", 1, t))
 
     # 3. full night: 100 rows x 35 lambda
     seeing, GL, L0, mask = build_rows(100)
-    t, _ = timed(lambda: [np.asarray(a) for a in process_batch(
-        seeing, GL, L0, mask, lb35, cfg=cfg, chunk=25)])
+    t, _ = timed(lambda: pull_packed(*process_batch(
+        seeing, GL, L0, mask, lb35, cfg=cfg, chunk=25)))
     rows.append(("full night: 100 rows x 35 lambda", 100, t))
 
     # 4. high-resolution 2048^2 grids, one row x 35 lambda
     cfg_hi = cfg.with_(dim=2048)
-    t, _ = timed(lambda: [np.asarray(a) for a in process_batch(
-        [1.0], [0.7], [25.0], np.ones((1, 4)), lb35, cfg=cfg_hi, chunk=1)])
+    t, _ = timed(lambda: pull_packed(*process_batch(
+        [1.0], [0.7], [25.0], np.ones((1, 4)), lb35, cfg=cfg_hi, chunk=1)))
     rows.append(("high-res 2048^2: one row x 35 lambda", 1, t))
 
     # 5. 32x32 condition sweep over (seeing, GL) at fixed L0, 35 lambda
