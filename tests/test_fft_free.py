@@ -49,3 +49,37 @@ def test_resolve_fft_mode_on_cpu():
     assert fft_available()  # CPU backend always has FFTs
     cfg = GalacsiConfig()
     assert resolve_fft_mode(cfg) is cfg
+
+
+def test_dft_convolve_matches_fft_and_direct_backends():
+    """The three 'same'-convolution backends agree to rounding (the DFT
+    matmul one is the production FFT-free path)."""
+    import jax.numpy as jnp
+    from muse_psfr_tpu.otf.convolve import (
+        _fft_convolve_same, _direct_convolve_same, _dft_convolve_same)
+
+    rng = np.random.default_rng(7)
+    p = jnp.asarray(rng.standard_normal((5, 40, 40)), jnp.float64)
+    for nk in (1, 5):  # broadcast single kernel and per-plane kernels
+        k = jnp.asarray(rng.standard_normal((nk, 41, 41)), jnp.float64)
+        a = np.asarray(_fft_convolve_same(p, k, 40, 41))
+        b = np.asarray(_dft_convolve_same(p, k, 40, 41))
+        c = np.asarray(_direct_convolve_same(p, k, 40, 41))
+        np.testing.assert_allclose(b, a, atol=1e-11)
+        np.testing.assert_allclose(b, c, atol=1e-11)
+
+
+def test_dft_convolve_retrace_has_no_stale_constants():
+    """The cached DFT matrices must be host arrays: caching a traced array
+    would leak a tracer into the second trace (regression guard)."""
+    import jax
+    import jax.numpy as jnp
+    from muse_psfr_tpu.otf.convolve import _dft_convolve_same
+
+    rng = np.random.default_rng(3)
+    p = jnp.asarray(rng.standard_normal((2, 8, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 9, 9)), jnp.float32)
+    f = lambda x: _dft_convolve_same(x, k, 8, 9)  # noqa: E731
+    first = np.asarray(jax.jit(f)(p))
+    second = np.asarray(jax.jit(lambda x: f(x) + 0.0)(p))  # fresh trace
+    np.testing.assert_allclose(first, second, rtol=1e-6)

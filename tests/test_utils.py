@@ -50,3 +50,18 @@ def test_fit_table_vstack_preserves_order():
     out = FitTable.vstack([t1, t2])
     assert out.colnames == ["x", "y"]
     assert_allclose(out["y"], [[1.0, 2.0], [3.0, 4.0]])
+
+
+def test_pull_packed_restores_shapes_and_values():
+    import jax.numpy as jnp
+    from muse_psfr_tpu.parallel.batch import pull_packed
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((3, 5)).astype(np.float32)
+    b = rng.standard_normal((7,)).astype(np.float32)
+    c = np.float32(4.25)  # 0-d
+    out_a, out_b, out_c = pull_packed(jnp.asarray(a), jnp.asarray(b),
+                                      jnp.asarray(c))
+    assert_allclose(out_a, a)
+    assert_allclose(out_b, b)
+    assert out_c.shape == () and out_c == c
