@@ -77,6 +77,15 @@ def _lm_solve(img, yy, xx):
     p0 = _init_params(img, yy, xx)
     lam0 = jnp.asarray(1e-3, dtype)
 
+    # Precision split, measured on v5e: the loop's normal equations only
+    # steer the LM trajectory (default bf16-pass dots converge to the same
+    # parameters, ~2e-4 px off the f64 fit either way — the f32 data path
+    # dominates), but the FINAL JtJ sets the reported covariance: at
+    # default precision the error bars are ~1% off the f64 oracle, at
+    # HIGHEST ~0.3%.  So: fast dots in the scan (x21 calls), one HIGHEST
+    # dot for the covariance.
+    hi = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
     def step(carry, _):
         p, lam, c = carry
         m, jac = _model_and_jac(p, yy, xx)
@@ -100,7 +109,7 @@ def _lm_solve(img, yy, xx):
 
     _, jac = _model_and_jac(p, yy, xx)
     j = jac.reshape(-1, N_PARAMS)
-    jtj = j.T @ j
+    jtj = hi(j.T, j)
     dof = data.shape[0] - N_PARAMS
     cov = jnp.linalg.inv(jtj) * (c / dof)
     return p, cov
