@@ -43,6 +43,19 @@ def _reconstruct_vmapped(seeing, GL, L0, gs_mask, lbda, h, wind_speed,
     )(seeing, GL, L0, gs_mask)
 
 
+@partial(jax.jit, static_argnames=("chunk", "h", "wind_speed", "npsflin",
+                                   "cfg"))
+def _reconstruct_chunk(table, lo, chunk, lbda, h, wind_speed, npsflin, cfg):
+    """One chunk from the device-resident telemetry table (B, 7) laid out
+    as [seeing, GL, L0, gs_mask(4)]: slice (traced offset, static size),
+    unpack, and reconstruct — a single dispatch per chunk."""
+    t = jax.lax.dynamic_slice_in_dim(table, lo, chunk, axis=0)
+    return jax.vmap(
+        lambda row: reconstruct_one(row[0], row[1], row[2], row[3:7],
+                                    lbda, h, wind_speed, npsflin, cfg)
+    )(t)
+
+
 from .mesh import default_mesh  # noqa: E402  (re-exported here for API)
 
 _FFT_OK = {}
@@ -135,24 +148,37 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     if mesh is not None:
         sharding = NamedSharding(mesh, P("rows"))
 
+    # ONE host->device push of the whole telemetry table (the tunneled
+    # link is latency-bound, so per-chunk per-column pushes dominated the
+    # steady state); chunks are sliced out on device inside the jitted
+    # step.  Pad the batch so every chunk dispatch has the same shape
+    # (one compilation); padding repeats the last row (pad results are
+    # discarded via the yielded count).
+    n_pad = (-B) % chunk
+    table = np.concatenate(
+        [seeing[:, None], GL[:, None], L0[:, None], gs_mask], axis=1)
+    if n_pad:
+        table = np.concatenate(
+            [table, np.repeat(table[-1:], n_pad, axis=0)], axis=0)
+
+    if sharding is None:
+        table_d = jnp.asarray(table, cfg.dtype)
+        for lo in range(0, B, chunk):
+            res = _reconstruct_chunk(table_d, lo, chunk, lbda, h_t,
+                                     wind_speed, npsflin, cfg)
+            yield min(chunk, B - lo), res
+        return
+
+    # mesh path: a traced-offset slice of a row-sharded table would make
+    # XLA conservatively gather across devices, so push each (already
+    # packed) chunk with the rows sharding instead — one small transfer
+    # per chunk, partitioned batch throughout.
     for lo in range(0, B, chunk):
-        hi = min(lo + chunk, B)
-        n = hi - lo
-        pad = chunk - n
-
-        def prep(a):
-            a = a[lo:hi]
-            if pad:
-                a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], 0)
-            ja = jnp.asarray(a, cfg.dtype)
-            if sharding is not None:
-                ja = jax.device_put(ja, sharding)
-            return ja
-
-        res = _reconstruct_vmapped(prep(seeing), prep(GL), prep(L0),
-                                   prep(gs_mask), lbda, h_t,
-                                   wind_speed, npsflin, cfg)
-        yield n, res
+        t = jax.device_put(jnp.asarray(table[lo:lo + chunk], cfg.dtype),
+                           sharding)
+        res = _reconstruct_vmapped(t[:, 0], t[:, 1], t[:, 2], t[:, 3:7],
+                                   lbda, h_t, wind_speed, npsflin, cfg)
+        yield min(chunk, B - lo), res
 
 
 def reconstruct_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),

@@ -83,3 +83,18 @@ def test_dft_convolve_retrace_has_no_stale_constants():
     first = np.asarray(jax.jit(f)(p))
     second = np.asarray(jax.jit(lambda x: f(x) + 0.0)(p))  # fresh trace
     np.testing.assert_allclose(first, second, rtol=1e-6)
+
+
+def test_matmul_precision_knob_traces():
+    """All three precision tiers must trace (the knob converts the config
+    string to jax.lax.Precision at use sites)."""
+    import jax
+    import jax.numpy as jnp
+    from muse_psfr_tpu.config import TINY_CONFIG
+    from muse_psfr_tpu.otf.psf import dphi_base
+
+    psd = jnp.ones((1, TINY_CONFIG.dim, TINY_CONFIG.dim), jnp.float32)
+    for tier in ("default", "high", "highest"):
+        cfg = TINY_CONFIG.with_(use_fft=False, matmul_precision=tier)
+        out = jax.jit(lambda p: dphi_base(p, cfg))(psd)
+        assert np.all(np.isfinite(np.asarray(out)))
