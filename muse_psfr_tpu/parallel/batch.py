@@ -43,13 +43,12 @@ def _reconstruct_vmapped(seeing, GL, L0, gs_mask, lbda, h, wind_speed,
     )(seeing, GL, L0, gs_mask)
 
 
-@partial(jax.jit, static_argnames=("chunk", "h", "wind_speed", "npsflin",
-                                   "cfg"))
-def _reconstruct_chunk(table, lo, chunk, lbda, h, wind_speed, npsflin, cfg):
-    """One chunk from the device-resident telemetry table (B, 7) laid out
-    as [seeing, GL, L0, gs_mask(4)]: slice (traced offset, static size),
-    unpack, and reconstruct — a single dispatch per chunk."""
-    t = jax.lax.dynamic_slice_in_dim(table, lo, chunk, axis=0)
+@partial(jax.jit, static_argnames=("h", "wind_speed", "npsflin", "cfg"))
+def _reconstruct_chunk(t, lbda, h, wind_speed, npsflin, cfg):
+    """One (chunk, 7) telemetry slice laid out [seeing, GL, L0, gs_mask(4)]
+    -> PSF cubes.  The slice shape is the compilation key: callers must
+    slice the device-resident table *outside* (with a traced offset, so
+    the total batch size never enters any compiled program)."""
     return jax.vmap(
         lambda row: reconstruct_one(row[0], row[1], row[2], row[3:7],
                                     lbda, h, wind_speed, npsflin, cfg)
@@ -164,8 +163,13 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     if sharding is None:
         table_d = jnp.asarray(table, cfg.dtype)
         for lo in range(0, B, chunk):
-            res = _reconstruct_chunk(table_d, lo, chunk, lbda, h_t,
-                                     wind_speed, npsflin, cfg)
+            # eager dynamic slice: traced offset + static size, so it
+            # compiles once for any batch size and any chunk position —
+            # the full table shape never reaches the pipeline executable
+            t = jax.lax.dynamic_slice_in_dim(
+                table_d, jnp.asarray(lo, jnp.int32), chunk, axis=0)
+            res = _reconstruct_chunk(t, lbda, h_t, wind_speed, npsflin,
+                                     cfg)
             yield min(chunk, B - lo), res
         return
 
