@@ -51,10 +51,13 @@ def main():
         seeing, GL, L0, mask, lb35, cfg=cfg, chunk=25)))
     rows.append(("full night: 100 rows x 35 lambda", 100, t))
 
-    # 3b. extended steady state: 1000 rows (reuses the chunk-25 compile)
+    # 3b. extended steady state: 1000 rows.  warm=True: the pipeline
+    # executable is shared with config 3, but the batch size still owns
+    # small one-time compiles (chunk-slice, fit concatenation) that a
+    # steady-state figure must exclude.
     seeing1k, GL1k, L01k, mask1k = build_rows(1000)
     t, _ = timed(lambda: pull_packed(*process_batch(
-        seeing1k, GL1k, L01k, mask1k, lb35, cfg=cfg, chunk=25)), warm=False)
+        seeing1k, GL1k, L01k, mask1k, lb35, cfg=cfg, chunk=25)))
     rows.append(("extended: 1000 rows x 35 lambda (steady state)", 1000, t))
 
     # 4. high-resolution 2048^2 grids, one row x 35 lambda
