@@ -25,7 +25,10 @@ import jax
 import jax.numpy as jnp
 
 N_PARAMS = 5
-LM_ITERS = 20  # converged by ~10 on MUSE-like planes; margin for edge cases
+LM_ITERS = 20  # converged by ~10 on MUSE-like planes; margin for edge
+               # cases.  Measured (v5e, realistic night + extreme-telemetry
+               # corners): 14 iters drifts beta up to 1.5e-3 vs 20 — 15% of
+               # the golden tolerance for ~10 ms/chunk; not worth it.
 
 #: layout of the packed per-plane fit result (one device->host transfer)
 PACKED_FIELDS = ("cy", "cx", "err_cy", "err_cx", "flux", "err_flux",
