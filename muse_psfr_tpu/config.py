@@ -65,6 +65,18 @@ class GalacsiConfig:
                                # pipeline speedup — the zoom stage is
                                # HBM-bound), "default" = 1-pass bf16
                                # (~1e-5 — fails the accuracy budget)
+    use_dphi_split: bool = True  # linearity split of the structure
+                               # function: the fitting-PSD transform is
+                               # precomputed per config (Taylor basis in
+                               # 1/L0^2, certified <=1e-7 relative for
+                               # L0 >= dphi_split_l0_min) and only the
+                               # centrally-supported correction-zone block
+                               # is transformed per row (~16x fewer FLOPs).
+                               # The batch layer falls back to the exact
+                               # full transform when any row's L0 is below
+                               # dphi_split_l0_min.
+    dphi_split_degree: int = 3
+    dphi_split_l0_min: float = 5.0
     use_pallas: bool = True    # fused exp+zoom-DFT Pallas kernel (TPU only,
                                # float32, single-direction, dim % 256 == 0;
                                # silently falls back to the XLA zoom path

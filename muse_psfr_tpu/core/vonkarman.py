@@ -8,6 +8,7 @@ fitting-error PSD uses the exact gamma-function expression
 
 from math import gamma, pi
 
+import numpy as np
 import jax.numpy as jnp
 
 #: rounded prefactor used for the reconstruction/true-layer PSDs
@@ -36,3 +37,46 @@ def fitting_psd(f_centered, r0, L0, fc):
     f = jnp.asarray(f_centered)
     vk = vk_psd(f, r0, L0, cst=CST_VK_EXACT)
     return jnp.where(f >= fc, vk, 0.0)
+
+
+def fitting_expansion_spec(l0_min: float, degree: int):
+    """Taylor expansion of the fitting-PSD outer-scale dependence.
+
+    With ``u = 1/L0^2`` the fitting PSD factorises as ``cst * r0^(-5/3) *
+    (f^2 + u)^(-11/6)`` on ``f >= fc``; expanding around ``u0`` gives
+
+        (f^2 + u)^(-11/6) = sum_k  binom(-11/6, k) (u - u0)^k
+                                    * (f^2 + u0)^(-11/6 - k) + R
+
+    whose remainder is controlled by ``x = (u - u0)/(f^2 + u0)``: since
+    ``f >= fc`` and ``u <= 1/l0_min^2``, ``|x|`` is tiny (~4e-3 at the
+    defaults) and a degree-3 expansion is exact to ~1e-9 relative.  This
+    is what lets the structure-function transform of the fitting PSD be
+    precomputed once per configuration instead of per telemetry row
+    (reference psfrec.py:144 + 716-722 recompute it per row per lambda).
+
+    Returns ``(u0, binoms)``: the expansion centre and the ``degree+1``
+    binomial coefficients, as numpy float64.
+    """
+    u_max = 1.0 / (l0_min * l0_min)
+    u0 = u_max / 2.0
+    binoms = np.ones(degree + 1)
+    for k in range(1, degree + 1):
+        binoms[k] = binoms[k - 1] * (-11.0 / 6.0 - (k - 1)) / k
+    return u0, binoms
+
+
+def fitting_expansion_max_rel_error(l0_min: float, degree: int, fc: float,
+                                    l0_grid=None):
+    """Certified max relative error of :func:`fitting_expansion_spec` over
+    ``L0 in [l0_min, 10000]`` and ``f >= fc`` (the error is monotonically
+    decreasing in ``f``, so ``f = fc`` is the worst case)."""
+    u0, binoms = fitting_expansion_spec(l0_min, degree)
+    if l0_grid is None:
+        l0_grid = np.geomspace(l0_min, 1e4, 2001)
+    u = 1.0 / l0_grid ** 2
+    base = fc * fc + u0
+    exact = (fc * fc + u) ** (-11.0 / 6.0)
+    approx = sum(binoms[k] * (u - u0) ** k * base ** (-11.0 / 6.0 - k)
+                 for k in range(degree + 1))
+    return float(np.max(np.abs(approx - exact) / exact))

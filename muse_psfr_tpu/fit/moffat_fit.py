@@ -51,8 +51,7 @@ def _model_and_jac(p, yy, xx):
     j_peak = un
     j_alpha = common * 2.0 * rr / alpha
     j_n = -m * lu
-    jac = jnp.stack([j_cy, j_cx, j_peak, j_alpha, j_n], axis=-1)
-    return m, jac
+    return m, (j_cy, j_cx, j_peak, j_alpha, j_n)
 
 
 def _init_params(img, yy, xx):
@@ -67,10 +66,82 @@ def _init_params(img, yy, xx):
     return jnp.stack([cy0, cx0, peak0, a0, jnp.asarray(2.0, img.dtype)])
 
 
+def _gram(jac_cols, r):
+    """Normal-equation pieces from per-pixel jacobian columns.
+
+    ``jtj[i][j] = sum(J_i * J_j)`` and ``jtr[i] = sum(J_i * r)`` as
+    explicit reductions: a (5, npix) x (npix, 5) matmul is pathological
+    on the MXU (the 5-wide output wastes 96% of every 128x128 tile and,
+    under vmap over hundreds of planes, dominated the fit stage); 15
+    scalar reductions are pure VPU work and vectorise perfectly over the
+    plane batch.
+    """
+    n = len(jac_cols)
+    jtj = [[jnp.sum(jac_cols[i] * jac_cols[j]) for j in range(i + 1)]
+           for i in range(n)]
+    jtr = [jnp.sum(jac_cols[i] * r) for i in range(n)]
+    return jtj, jtr
+
+
+def _chol_factor(a_lower):
+    """Unrolled Cholesky of a tiny SPD matrix given as a lower-triangular
+    list-of-lists of batched scalars.  ``jnp.linalg.solve``/``inv`` on
+    (5, 5) systems scalarise badly on TPU; unrolling makes every
+    operation an elementwise op over the plane batch.  A non-SPD input
+    (degenerate plane) yields NaN, which the LM step then *rejects*
+    (NaN compares false), instead of silently stepping on garbage."""
+    n = len(a_lower)
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = a_lower[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(s)
+            else:
+                L[i][j] = s / L[j][j]
+    return L
+
+
+def _chol_solve(L, b):
+    """Solve ``L L^T x = b`` (lists of batched scalars)."""
+    n = len(L)
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+def _chol_inverse(a_lower):
+    """Inverse of a tiny SPD matrix via n unrolled Cholesky solves."""
+    n = len(a_lower)
+    L = _chol_factor(a_lower)
+    one = jnp.ones_like(a_lower[0][0])
+    zero = jnp.zeros_like(one)
+    cols = [_chol_solve(L, [one if i == j else zero for i in range(n)])
+            for j in range(n)]
+    return cols  # cols[j][i] = inv[i, j] (= inv[j, i] by symmetry)
+
+
 def _lm_solve(img, yy, xx):
-    """Fixed-iteration LM on one plane.  Returns (params, cov)."""
+    """Fixed-iteration LM on one plane.  Returns (params, cov diag)."""
     dtype = img.dtype
     data = img.ravel()
+
+    def model_cols(p):
+        m, jac = _model_and_jac(p, yy, xx)
+        r = m.ravel() - data
+        return r, [c.ravel() for c in jac]
 
     def cost_of(p):
         m, _ = _model_and_jac(p, yy, xx)
@@ -80,25 +151,14 @@ def _lm_solve(img, yy, xx):
     p0 = _init_params(img, yy, xx)
     lam0 = jnp.asarray(1e-3, dtype)
 
-    # Precision split, measured on v5e: the loop's normal equations only
-    # steer the LM trajectory (default bf16-pass dots converge to the same
-    # parameters, ~2e-4 px off the f64 fit either way — the f32 data path
-    # dominates), but the FINAL JtJ sets the reported covariance: at
-    # default precision the error bars are ~1% off the f64 oracle, at
-    # HIGHEST ~0.3%.  So: fast dots in the scan (x21 calls), one HIGHEST
-    # dot for the covariance.
-    hi = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
-
     def step(carry, _):
         p, lam, c = carry
-        m, jac = _model_and_jac(p, yy, xx)
-        r = (m.ravel() - data)
-        j = jac.reshape(-1, N_PARAMS)
-        jtj = j.T @ j
-        jtr = j.T @ r
-        a = jtj + lam * jnp.diag(jnp.diag(jtj))
-        delta = jnp.linalg.solve(a, -jtr)
-        p_new = p + delta
+        r, cols = model_cols(p)
+        jtj, jtr = _gram(cols, r)
+        a = [[jtj[i][j] * ((1.0 + lam) if i == j else 1.0)
+              for j in range(i + 1)] for i in range(N_PARAMS)]
+        delta = _chol_solve(_chol_factor(a), [-g for g in jtr])
+        p_new = p + jnp.stack(delta)
         c_new = cost_of(p_new)
         better = c_new < c
         p = jnp.where(better, p_new, p)
@@ -110,12 +170,12 @@ def _lm_solve(img, yy, xx):
     (p, _, c), _ = jax.lax.scan(step, (p0, lam0, cost_of(p0)),
                                 None, length=LM_ITERS)
 
-    _, jac = _model_and_jac(p, yy, xx)
-    j = jac.reshape(-1, N_PARAMS)
-    jtj = hi(j.T, j)
+    r, cols = model_cols(p)
+    jtj, _ = _gram(cols, r)
+    inv_cols = _chol_inverse(jtj)
     dof = data.shape[0] - N_PARAMS
-    cov = jnp.linalg.inv(jtj) * (c / dof)
-    return p, cov
+    var = jnp.stack([inv_cols[k][k] for k in range(N_PARAMS)]) * (c / dof)
+    return p, var
 
 
 @partial(jax.jit, static_argnames=("dtype",))
@@ -134,8 +194,8 @@ def fit_moffat_cube_packed(cube, dtype: str = "float32"):
     yy = yy.astype(dt)
     xx = xx.astype(dt)
 
-    p, cov = jax.vmap(lambda im: _lm_solve(im, yy, xx))(planes)
-    err = jnp.sqrt(jnp.maximum(jax.vmap(jnp.diag)(cov), 0.0))
+    p, var = jax.vmap(lambda im: _lm_solve(im, yy, xx))(planes)
+    err = jnp.sqrt(jnp.maximum(var, 0.0))
 
     cy, cx, peak, alpha, n = (p[:, k] for k in range(N_PARAMS))
     e_cy, e_cx, e_peak, e_alpha, e_n = (err[:, k] for k in range(N_PARAMS))

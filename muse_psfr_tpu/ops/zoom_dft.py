@@ -1,27 +1,34 @@
-"""Pallas TPU kernel: fused scaled-exp OTF x zoom-DFT matmul.
+"""Pallas TPU kernel: fused direction-averaged OTF x zoom-DFT matmul.
 
-The hot op of the pipeline is, per (row, wavelength),
+The hot op of the pipeline is, per telemetry row and wavelength chunk,
 
-    G = exp(-0.5 * convnm^2 * Dphi) * dl / norm        (the system OTF)
-    U_r = Ar @ G ;  U_i = Ai @ G                        (zoom-DFT stage 1)
+    G_l = sum_d exp(alpha_l * Dphi_d) * w_{l,d} * dl     (system OTF,
+                                                          direction-avgd)
+    U_l = A2_l @ G_l                                     (zoom-DFT stage 1)
 
-where Dphi is the wavelength-free structure function (N x N, N=1280), dl
-the diffraction OTF, and Ar/Ai the (2*dimpsf, N) inverse-DFT row matrices
-of the wavelength's crop grid.  Done naively, G is materialised in HBM and
-read twice (once per matmul): ~26 MB of HBM traffic per (row, wavelength).
+where Dphi_d is the wavelength-free structure function per evaluation
+direction ((ndir, N, N), N=1280), dl the diffraction OTF, A2_l the
+(2*2*dimpsf, N) stacked [Ar; Ai] inverse-DFT row matrices of wavelength
+l's crop grid, and w_{l,d} the per-direction DC normalisation weights
+(reference psfrec.py:667-674 computes one PSF per (lambda, direction) and
+averages; the OTF-level average is exact — see otf/psf.py docstring).
 
-This kernel computes G tile-by-tile in VMEM (VPU) and immediately contracts
-it against both DFT matrices (MXU), so G never exists in HBM: traffic drops
-to one read of Dphi/dl per wavelength plus the small A/U arrays — about 2x
-less, and the exp is overlapped with the matmuls.
+Done naively, every (lambda, direction) materialises an (N, N) OTF in HBM
+and reads it back (the npsflin=3 case OOMs at production batch sizes).
+This kernel builds G tile-by-tile in VMEM: per column tile it accumulates
+the direction average for all wavelengths of the chunk (VPU), then
+contracts each against its DFT matrix (MXU).  Dphi is read ONCE per
+column tile for all ``nl`` wavelengths — HBM traffic drops from
+``nl * ndir`` full-grid reads per chunk to one, and nothing G-sized ever
+exists in HBM.
 
-Grid: one program per column tile of G.  Per step the kernel holds the full
-contraction dimension (N rows) of a TJ-column slab: Dphi/dl slabs are
-(N, TJ) ~ 1.3 MB each, Ar/Ai are resident in full (2*dimpsf, N) ~ 0.8 MB —
-well inside VMEM.
+Grid: ``(N/TJ, ndir)`` — column tiles are parallel, directions accumulate
+sequentially into a VMEM scratch; the matmuls run on the last direction
+step.  VMEM at the production shape (nl=7, N=1280, TJ=128):
+~4.6 MB scratch + 5.7 MB A2 + ~3 MB pipelined blocks.
 
-The second zoom stage (P = U_r Ar^T - U_i Ai^T, (160, N) x (N, 160)) is
-~50x smaller and stays in XLA.
+The second zoom stage (P_l = U_l[:m] Ar_l^T - U_l[m:] Ai_l^T) is ~16x
+smaller and stays in XLA.
 """
 
 from functools import partial
@@ -32,54 +39,82 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(scale_ref, dphi_ref, dl_ref, a_ref, u_ref):
-    # scale_ref: (2,) SMEM — [alpha, weight]; G = exp(alpha*Dphi)*dl*weight
-    alpha = scale_ref[0]
-    weight = scale_ref[1]
-    g = jnp.exp(alpha * dphi_ref[:, :]) * dl_ref[:, :] * weight
-    # full-f32 MXU passes: the Mosaic default is a single bfloat16 pass,
-    # which costs ~3e-3 relative — far outside the accuracy budget
-    u_ref[:, :] = jax.lax.dot_general(
-        a_ref[:, :], g, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+def _kernel(alpha_ref, w_ref, dphi_ref, dl_ref, a2_ref, u_ref, gsum_ref,
+            *, precision):
+    # alpha_ref: (nl,) SMEM; w_ref: (nl, ndir) SMEM
+    # dphi_ref: (1, N, TJ) — direction d's column slab
+    # dl_ref: (N, TJ); a2_ref: (nl, 2M, N); u_ref: (nl, 2M, TJ)
+    # gsum_ref: (nl, N, TJ) VMEM scratch, accumulated over direction steps
+    d = pl.program_id(1)
+    ndir = pl.num_programs(1)
+    nl = gsum_ref.shape[0]
+    dp = dphi_ref[0]
+
+    for l in range(nl):
+        contrib = jnp.exp(alpha_ref[l] * dp) * w_ref[l, d]
+
+        @pl.when(d == 0)
+        def _(l=l, contrib=contrib):
+            gsum_ref[l] = contrib
+
+        @pl.when(d > 0)
+        def _(l=l, contrib=contrib):
+            gsum_ref[l] = gsum_ref[l] + contrib
+
+    @pl.when(d == ndir - 1)
+    def _():
+        dlt = dl_ref[:, :]
+        for l in range(nl):
+            # single-bf16-pass Mosaic default costs ~3e-3 relative —
+            # far outside the accuracy budget; precision is configurable
+            # down to 3-pass ("high", ~1e-6) but never "default"
+            u_ref[l] = jax.lax.dot_general(
+                a2_ref[l], gsum_ref[l] * dlt, (((1,), (0,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("tile_j",))
-def fused_exp_zoom(dphi, dl, a2, alpha, weight, tile_j: int = 256):
-    """U = A2 @ (exp(alpha*Dphi)*dl*weight) with G never materialised.
+@partial(jax.jit, static_argnames=("tile_j", "precision", "interpret"))
+def fused_exp_zoom(dphi, dl, a2, alpha, w, tile_j: int = 128,
+                   precision: str = "highest", interpret: bool = False):
+    """U[l] = A2[l] @ (sum_d exp(alpha[l]*Dphi[d]) * w[l,d] * dl).
 
-    dphi, dl: (N, N) float32; a2: (2M, N) float32 — the stacked [Ar; Ai]
-    zoom-DFT matrices (one dot feeds the MXU better than two M-row dots);
-    alpha, weight: scalars.  Returns (2M, N) float32.
+    dphi: (ndir, N, N) float32; dl: (N, N) float32; a2: (nl, 2M, N)
+    float32 stacked per-wavelength [Ar; Ai] zoom-DFT matrices; alpha:
+    (nl,) scalars; w: (nl, ndir) direction weights.  Returns (nl, 2M, N)
+    float32.  G is never materialised and Dphi is read once per chunk.
     """
-    n = dphi.shape[0]
-    m2 = a2.shape[0]
+    ndir, n, _ = dphi.shape
+    nl, m2, _ = a2.shape
     assert n % tile_j == 0, (n, tile_j)
-    scale = jnp.stack([jnp.asarray(alpha, jnp.float32),
-                       jnp.asarray(weight, jnp.float32)])
+    alpha = jnp.asarray(alpha, jnp.float32)
+    w = jnp.asarray(w, jnp.float32)
+    prec = jax.lax.Precision(precision)
 
-    grid = (n // tile_j,)
+    grid = (n // tile_j, ndir)
     return pl.pallas_call(
-        _kernel,
+        partial(_kernel, precision=prec),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((n, tile_j), lambda j, s: (0, j)),
-                pl.BlockSpec((n, tile_j), lambda j, s: (0, j)),
-                pl.BlockSpec((m2, n), lambda j, s: (0, 0)),
+                pl.BlockSpec((1, n, tile_j), lambda j, d, a, wt: (d, 0, j)),
+                pl.BlockSpec((n, tile_j), lambda j, d, a, wt: (0, j)),
+                pl.BlockSpec((nl, m2, n), lambda j, d, a, wt: (0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((m2, tile_j), lambda j, s: (0, j)),
+            out_specs=pl.BlockSpec((nl, m2, tile_j),
+                                   lambda j, d, a, wt: (0, 0, j)),
+            scratch_shapes=[pltpu.VMEM((nl, n, tile_j), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((m2, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nl, m2, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            # output column tiles are disjoint across grid steps
-            dimension_semantics=("parallel",),
+            # column tiles are disjoint; directions accumulate in order
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m2 * n * n,
-            bytes_accessed=2 * 4 * n * n + 2 * 4 * m2 * n,
-            transcendentals=n * n,
+            flops=2 * nl * m2 * n * n + 2 * nl * ndir * n * n,
+            bytes_accessed=4 * (ndir + 1) * n * n + 2 * 4 * nl * m2 * n,
+            transcendentals=nl * ndir * n * n,
         ),
-    )(scale, dphi, dl, a2)
+        interpret=interpret,
+    )(alpha, w, dphi, dl, a2)

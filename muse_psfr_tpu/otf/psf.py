@@ -72,7 +72,7 @@ def pupil_otf(cfg: GalacsiConfig):
     return jnp.asarray(_PUPIL_OTF_CACHE[key])
 
 
-def _centered_idft_matrices(dim: int, dtype):
+def _centered_idft_matrices(dim: int, dtype, cols=None):
     """Real/imag matrices of the shifted inverse DFT, centred in and out.
 
     For a real image-centred array X, ``fftshift(ifft2(fftshift(X))).real
@@ -80,9 +80,14 @@ def _centered_idft_matrices(dim: int, dtype):
     cos(2 pi ((p - N/2) mod N) g / N) / N`` and similarly for S — the
     (-1)^k factor absorbs the inner fftshift and the row reindexing the
     outer one.  Phases are reduced mod N in int32 for float32 accuracy.
+
+    ``cols=(lo, n)`` restricts to input columns ``lo:lo+n`` — for inputs
+    supported on a central block, the transform only needs those columns
+    (the block-term optimisation of :func:`dphi_base_split`).
     """
     k = np.mod(np.arange(dim) - dim // 2, dim)
-    g = np.arange(dim)
+    g = np.arange(dim) if cols is None else np.arange(cols[0],
+                                                      cols[0] + cols[1])
     ph = np.mod(np.outer(k, g), dim).astype(np.float64)
     ang = ph * (2.0 * np.pi / dim)
     sign = np.where(k % 2 == 0, 1.0, -1.0)[:, None]
@@ -126,6 +131,88 @@ def dphi_base(psd, cfg: GalacsiConfig):
     re_bg = mm(mm(c, x), c.T) - mm(mm(s, x), s.T)
     bg00 = jnp.sum(x, axis=(-2, -1))[..., None, None] / (L * L)
     return (2.0 * (bg00 - re_bg * scale)).astype(dtype)
+
+
+_DPHI_BASIS_CACHE = {}
+
+
+def fitting_dphi_basis(cfg: GalacsiConfig):
+    """Structure-function transforms of the fitting-PSD Taylor basis.
+
+    The PSD decomposes as ``sum_k w_k B_k + embed(delta)`` (see
+    ``psd/model.py:simulate_psd_split``); since the structure-function
+    transform is linear, ``dphi_base(PSD) = sum_k w_k T_k +
+    block_transform(delta)`` with ``T_k = dphi_base(B_k)`` precomputed
+    here ONCE per configuration — in float64 on the host, becoming
+    program constants.  This removes the reference's dominant per-row
+    cost (the full-grid transform of the fitting PSD, psfrec.py:144 +
+    716-722): the per-row device work drops from a (dim, dim) transform
+    to a (dimall, dimall)-supported block transform (~16x fewer FLOPs at
+    the production shape).
+
+    Returns a (degree+1, dim, dim) array in the compute dtype.
+    """
+    from ..core.grids import centered_freq_radius
+    from ..core.vonkarman import (fitting_expansion_spec,
+                                  fitting_expansion_max_rel_error)
+    key = (cfg.dim, cfg.npup, cfg.dpup, cfg.fc, cfg.dphi_split_degree,
+           cfg.dphi_split_l0_min, cfg.dtype)
+    if key not in _DPHI_BASIS_CACHE:
+        err = fitting_expansion_max_rel_error(
+            cfg.dphi_split_l0_min, cfg.dphi_split_degree, cfg.fc)
+        if err > 1e-7:
+            raise ValueError(
+                f"fitting-PSD expansion error {err:.2e} exceeds the 1e-7 "
+                f"budget for L0 >= {cfg.dphi_split_l0_min}; raise "
+                f"dphi_split_degree or dphi_split_l0_min")
+        dim = cfg.dim
+        sampnum = dim / cfg.npup
+        L = cfg.dpup * sampnum
+        scale = dim * dim / (L * L)
+        f = centered_freq_radius(dim, 2.0 * cfg.dpup)
+        mask = (f >= cfg.fc).astype(np.float64)
+        u0, binoms = fitting_expansion_spec(cfg.dphi_split_l0_min,
+                                            cfg.dphi_split_degree)
+        f2u = f * f + u0
+        ts = []
+        for k in range(len(binoms)):
+            b = mask * f2u ** (-11.0 / 6.0 - k)
+            bg = np.fft.ifft2(np.fft.fftshift(b)).real * scale
+            t = 2.0 * (bg[0, 0] - bg)
+            ts.append(np.fft.fftshift(t))
+        _DPHI_BASIS_CACHE[key] = np.stack(ts).astype(cfg.dtype)
+    return jnp.asarray(_DPHI_BASIS_CACHE[key])
+
+
+def dphi_base_split(w, delta, cfg: GalacsiConfig):
+    """Wavelength-free structure function from the split PSD form.
+
+    ``w``: (degree+1,) traced fitting-basis weights; ``delta``: (ndir,
+    dimall, dimall) correction-zone excess [nm^2].  Exactly equivalent
+    (to the certified <=1e-7 expansion error) to
+    ``dphi_base(simulate_psd(...))`` — the full-grid transform is folded
+    into precomputed constants and only the centrally-supported block
+    term is transformed on device, using just the relevant columns of
+    the inverse-DFT matrices.
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    dim = cfg.dim
+    sampnum = dim / cfg.npup
+    L = cfg.dpup * sampnum
+    scale = dim * dim / (L * L)
+
+    T = fitting_dphi_basis(cfg)                          # (K+1, dim, dim)
+    shared = jnp.sum(w.astype(dtype)[:, None, None] * T, axis=0)
+
+    lo = dim // 2 - cfg.dim_pup
+    s = delta.shape[-1]
+    c_blk, s_blk = _centered_idft_matrices(dim, dtype, cols=(lo, s))
+    mm = _mm(cfg)
+    x = delta.astype(dtype)                              # (ndir, s, s)
+    re_blk = (mm(mm(c_blk, x), c_blk.T)
+              - mm(mm(s_blk, x), s_blk.T))               # (ndir, dim, dim)
+    bg00 = jnp.sum(x, axis=(-2, -1))[..., None, None] / (L * L)
+    return (shared[None] + 2.0 * (bg00 - re_blk * scale)).astype(dtype)
 
 
 def lambda_crop_size(lbda_nm, cfg: GalacsiConfig):
@@ -191,23 +278,45 @@ def _combine_bilinear(p, t, nout: int):
             + t[:, None] * t[None, :] * p[nout:, nout:])
 
 
-def _psf_samples_zoom_pallas(dphi, dl, alpha, i0, t, nout: int, cfg):
-    """Pallas-fused variant of the zoom sampling for one direction:
-    the system OTF ``exp(alpha*Dphi)*dl/norm`` is built tile-by-tile in
-    VMEM and contracted on the MXU without ever hitting HBM."""
+def _psf_chunk_pallas(base, dl, lb_k, npix_k, cfg, interpret=False):
+    """Fused Pallas path for one wavelength chunk: the direction-averaged
+    system OTF is built tile-by-tile in VMEM and contracted on the MXU —
+    it never exists in HBM, and the structure function is read once per
+    chunk instead of once per (wavelength, direction).
+
+    ``base``: (ndir, N, N); ``lb_k``/``npix_k``: (k,) wavelengths [nm]
+    and crop sizes.  Returns (k, dimpsf, dimpsf) normalised PSF samples.
+    """
     from ..ops.zoom_dft import fused_exp_zoom
     dtype = jnp.dtype(cfg.dtype)
     dim = cfg.dim
-    idx = jnp.concatenate([i0, i0 + 1])
-    ar, ai = _zoom_dft_matrices(idx, dim, dtype)
+    ndir = base.shape[0]
+    nout = cfg.dimpsf
+
+    start = (dim // 2 - npix_k // 2).astype(dtype)           # (k,)
+    step = npix_k.astype(dtype) / nout
+    pos = start[:, None] + jnp.arange(nout, dtype=dtype)[None] * step[:, None]
+    i0f = jnp.floor(pos)
+    t = (pos - i0f).astype(dtype)                            # (k, nout)
+    i0 = jnp.clip(i0f.astype(jnp.int32), 0, dim - 2)
+    idx = jnp.concatenate([i0, i0 + 1], axis=1)              # (k, 2*nout)
+    ar, ai = jax.vmap(lambda ix: _zoom_dft_matrices(ix, dim, dtype))(idx)
+    a2 = jnp.concatenate([ar, ai], axis=1)                   # (k, 4*nout, N)
+
+    alpha = -0.5 * (2.0 * np.pi / lb_k.astype(dtype)) ** 2   # (k,)
     c = dim // 2
-    norm = jnp.exp(alpha * dphi[c, c]) * dl[c, c]
-    a2 = jnp.concatenate([ar, ai], axis=0)
-    u = fused_exp_zoom(dphi, dl, a2, alpha, 1.0 / norm)
+    norm = jnp.exp(alpha[:, None] * base[None, :, c, c]) * dl[c, c]
+    w = 1.0 / (ndir * norm)                                  # (k, ndir)
+
+    u = fused_exp_zoom(base, dl, a2, alpha, w,
+                       precision=cfg.matmul_precision, interpret=interpret)
     m = 2 * nout
     mm = _mm(cfg)
-    p = mm(u[:m], ar.T) - mm(u[m:], ai.T)
-    return _combine_bilinear(jnp.maximum(p, 0.0), t, nout)
+    p = (mm(u[:, :m], jnp.swapaxes(ar, 1, 2))
+         - mm(u[:, m:], jnp.swapaxes(ai, 1, 2)))             # (k, m, m)
+    out = jax.vmap(lambda pp, tt: _combine_bilinear(
+        jnp.maximum(pp, 0.0), tt, nout))(p, t)
+    return out / jnp.sum(out, axis=(-2, -1), keepdims=True)
 
 
 def _psf_samples_zoom(mean_otf_centered, i0, t, nout: int, cfg):
@@ -313,19 +422,26 @@ def psf_cube(psd, lbda_nm, cfg: GalacsiConfig):
     """
     if psd.ndim == 2:
         psd = psd[None]
+    base = dphi_base(psd.astype(cfg.dtype), cfg)    # (ndir, dim, dim)
+    return psf_cube_from_base(base, lbda_nm, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig):
+    """PSF cube from the wavelength-free structure function ``base``
+    ((ndir, dim, dim); from :func:`dphi_base` or :func:`dphi_base_split`).
+    """
     dtype = jnp.dtype(cfg.dtype)
     dim = cfg.dim
-
-    base = dphi_base(psd.astype(dtype), cfg)        # (ndir, dim, dim)
     dl = pupil_otf(cfg)                             # (dim, dim)
     npixc = lambda_crop_size(lbda_nm.astype(dtype), cfg)  # (nl,) int32
 
-    ndir = psd.shape[0]
+    ndir = base.shape[0]
     if not cfg.use_fft and not cfg.use_zoom_dft:
         raise ValueError("the FFT-free mode (use_fft=False) requires the "
                          "zoom-DFT resampling path (use_zoom_dft=True)")
-    pallas_ok = (cfg.use_pallas and cfg.use_zoom_dft and ndir == 1
-                 and cfg.dtype == "float32" and cfg.dim % 256 == 0
+    pallas_ok = (cfg.use_pallas and cfg.use_zoom_dft
+                 and cfg.dtype == "float32" and cfg.dim % 128 == 0
                  and jax.default_backend() not in ("cpu",))
 
     def one_lambda(args):
@@ -337,11 +453,6 @@ def psf_cube(psd, lbda_nm, cfg: GalacsiConfig):
         i0f = jnp.floor(pos)
         t = (pos - i0f).astype(dtype)
         i0 = jnp.clip(i0f.astype(jnp.int32), 0, dim - 2)
-
-        if pallas_ok:
-            out = _psf_samples_zoom_pallas(base[0], dl, -0.5 * convnm2,
-                                           i0, t, cfg.dimpsf, cfg)
-            return out / jnp.sum(out)
 
         ao = jnp.exp(-0.5 * convnm2 * base)
         prod = ao * dl[None]                        # (ndir, dim, dim)
@@ -357,18 +468,23 @@ def psf_cube(psd, lbda_nm, cfg: GalacsiConfig):
 
     nl = lbda_nm.shape[0]
     k = max(1, min(cfg.lambda_chunk, nl))
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and not pallas_ok:
         k = 1  # no parallel gain on one host core; chunking only adds memory
-    if k == 1:
+    if k == 1 and not pallas_ok:
         return jax.lax.map(one_lambda, (lbda_nm.astype(dtype), npixc))
 
-    # chunked wavelengths: vmap K lambdas per step — a serial per-lambda
-    # scan underutilises the chip by ~4x at production sizes
+    # chunked wavelengths: process K lambdas per step — a serial
+    # per-lambda scan underutilises the chip by ~4x at production sizes
     pad = (-nl) % k
     lb = jnp.concatenate([lbda_nm.astype(dtype),
                           jnp.broadcast_to(lbda_nm[-1].astype(dtype), (pad,))])
     npx = jnp.concatenate([npixc, jnp.broadcast_to(npixc[-1], (pad,))])
-    f = jax.vmap(lambda a, b: one_lambda((a, b)))
+    if pallas_ok:
+        # one fused kernel per chunk: Dphi read once for all K lambdas,
+        # direction average accumulated in VMEM
+        f = lambda a, b: _psf_chunk_pallas(base, dl, a, b, cfg)  # noqa: E731
+    else:
+        f = jax.vmap(lambda a, b: one_lambda((a, b)))
     res = jax.lax.map(lambda args: f(*args),
                       (lb.reshape(-1, k), npx.reshape(-1, k)))
     return res.reshape(-1, cfg.dimpsf, cfg.dimpsf)[:nl]

@@ -21,16 +21,29 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import GalacsiConfig
-from ..psd.model import simulate_psd
-from ..otf.psf import psf_cube
+from ..psd.model import simulate_psd, simulate_psd_split
+from ..otf.psf import psf_cube, psf_cube_from_base, dphi_base_split
 from ..otf.convolve import convolve_final
 
 
 def reconstruct_one(seeing, GL, L0, gs_mask, lbda, h, wind_speed,
                     npsflin: int, cfg: GalacsiConfig):
-    """Single work item: telemetry -> final PSF cube (nl, dimpsf, dimpsf)."""
-    psd = simulate_psd(seeing, GL, L0, gs_mask, h, wind_speed, npsflin, cfg)
-    psf = psf_cube(psd, lbda, cfg)
+    """Single work item: telemetry -> final PSF cube (nl, dimpsf, dimpsf).
+
+    With ``cfg.use_dphi_split`` the full-grid PSD is never materialised:
+    the fitting-PSD part of the structure function comes from precomputed
+    per-config constants and only the correction-zone block is
+    transformed (valid for L0 >= cfg.dphi_split_l0_min — the batch entry
+    points check this on the host and fall back to the exact path).
+    """
+    if cfg.use_dphi_split:
+        w, delta = simulate_psd_split(seeing, GL, L0, gs_mask, h,
+                                      wind_speed, npsflin, cfg)
+        psf = psf_cube_from_base(dphi_base_split(w, delta, cfg), lbda, cfg)
+    else:
+        psd = simulate_psd(seeing, GL, L0, gs_mask, h, wind_speed, npsflin,
+                           cfg)
+        psf = psf_cube(psd, lbda, cfg)
     return convolve_final(psf, lbda, seeing, GL, L0, cfg)
 
 
@@ -136,6 +149,11 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     seeing = np.atleast_1d(np.asarray(seeing, dtype=np.float64))
     GL = np.atleast_1d(np.asarray(GL, dtype=np.float64))
     L0 = np.atleast_1d(np.asarray(L0, dtype=np.float64))
+
+    # the split path's fitting-PSD expansion is certified only for
+    # L0 >= dphi_split_l0_min; outlier rows get the exact full transform
+    if cfg.use_dphi_split and np.any(L0 < cfg.dphi_split_l0_min):
+        cfg = cfg.with_(use_dphi_split=False)
     gs_mask = np.atleast_2d(np.asarray(gs_mask, dtype=np.float64))
     B = seeing.shape[0]
 
@@ -173,16 +191,23 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
             yield min(chunk, B - lo), res
         return
 
-    # mesh path: a traced-offset slice of a row-sharded table would make
-    # XLA conservatively gather across devices, so push each (already
-    # packed) chunk with the rows sharding instead — one small transfer
-    # per chunk, partitioned batch throughout.
-    for lo in range(0, B, chunk):
-        t = jax.device_put(jnp.asarray(table[lo:lo + chunk], cfg.dtype),
-                           sharding)
+    # mesh path: ONE host->device push of the whole padded table (the
+    # tunneled/DCN link is latency-bound, so per-chunk pushes dominated:
+    # n_chunks transfers vs one for the same bytes), laid out
+    # (n_chunks, chunk, 7) with the *chunk* axis sharded across the mesh.
+    # Each chunk is then a static slice along the unsharded leading axis
+    # — device-local, no cross-device gather (a traced-offset slice of a
+    # row-sharded axis would make XLA conservatively all-gather).
+    n_chunks = table.shape[0] // chunk
+    table_d = jax.device_put(
+        jnp.asarray(table.reshape(n_chunks, chunk, table.shape[1]),
+                    cfg.dtype),
+        NamedSharding(mesh, P(None, "rows")))
+    for i in range(n_chunks):
+        t = jax.device_put(table_d[i], sharding)  # no-op reshard guard
         res = _reconstruct_vmapped(t[:, 0], t[:, 1], t[:, 2], t[:, 3:7],
                                    lbda, h_t, wind_speed, npsflin, cfg)
-        yield min(chunk, B - lo), res
+        yield min(chunk, B - i * chunk), res
 
 
 def reconstruct_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),

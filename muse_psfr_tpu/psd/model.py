@@ -275,9 +275,9 @@ def _glao_static_transfer(h, wind_speed, npsflin, cfg: GalacsiConfig):
     return out
 
 
-@partial(jax.jit, static_argnames=("h", "wind_speed", "npsflin", "cfg"))
-def _simulate_psd_static(seeing, GL, L0, gs_mask, h, wind_speed,
-                         npsflin: int, cfg: GalacsiConfig, zenith=0.0):
+def _glao_block_psd(seeing, GL, L0, gs_mask, h, wind_speed,
+                    npsflin: int, cfg: GalacsiConfig, zenith=0.0):
+    """Correction-zone GLAO residual PSD (ndir, s, s) [rad^2] and r0."""
     dtype = jnp.dtype(cfg.dtype)
     cn2 = jnp.stack([GL, 1.0 - GL]).astype(dtype)
     cn2 = cn2 / jnp.sum(cn2)
@@ -299,6 +299,29 @@ def _simulate_psd_static(seeing, GL, L0, gs_mask, h, wind_speed,
     # the two reference geometries (psfrec.py:86-91); the mask's 4th entry
     # selects between them exactly as in the reference's 3-laser mode
     psd_dir = jnp.where(gs_mask[3] > 0.5, variant("4"), variant("3"))
+    return psd_dir, r0ref
+
+
+#: central-block slice of the image-centred |f| grid, cached per config key
+_F_BLOCK_CACHE = {}
+
+
+def _f_block(cfg: GalacsiConfig):
+    key = (cfg.dim, cfg.dpup, cfg.dim_pup)
+    if key not in _F_BLOCK_CACHE:
+        lo = cfg.dim // 2 - cfg.dim_pup
+        s = cfg.dimall
+        f = centered_freq_radius(cfg.dim, 2.0 * cfg.dpup)
+        _F_BLOCK_CACHE[key] = f[lo:lo + s, lo:lo + s]
+    return _F_BLOCK_CACHE[key]
+
+
+@partial(jax.jit, static_argnames=("h", "wind_speed", "npsflin", "cfg"))
+def _simulate_psd_static(seeing, GL, L0, gs_mask, h, wind_speed,
+                         npsflin: int, cfg: GalacsiConfig, zenith=0.0):
+    dtype = jnp.dtype(cfg.dtype)
+    psd_dir, r0ref = _glao_block_psd(seeing, GL, L0, gs_mask, h, wind_speed,
+                                     npsflin, cfg, zenith)
 
     f_full = jnp.asarray(centered_freq_radius(cfg.dim, 2.0 * cfg.dpup), dtype)
     full = fitting_psd(f_full, r0ref, L0, cfg.fc)
@@ -310,6 +333,45 @@ def _simulate_psd_static(seeing, GL, L0, gs_mask, h, wind_speed,
     out = jnp.broadcast_to(full, (ndir, cfg.dim, cfg.dim))
     out = jax.lax.dynamic_update_slice(out, block, (0, lo, lo))
     return out * (cfg.lambda_ref * 1000.0 / (2 * np.pi)) ** 2
+
+
+@partial(jax.jit, static_argnames=("h", "wind_speed", "npsflin", "cfg"))
+def _simulate_psd_split_static(seeing, GL, L0, gs_mask, h, wind_speed,
+                               npsflin: int, cfg: GalacsiConfig, zenith=0.0):
+    """Split form of :func:`_simulate_psd_static`: ``(w, delta)``.
+
+    The full-grid PSD decomposes linearly (the structure-function
+    transform is linear, see ``otf/psf.py:dphi_base_split``) as
+
+        PSD = sum_k w_k * B_k  +  embed_central(delta)
+
+    where the ``B_k`` are telemetry-independent fitting-PSD basis grids
+    (Taylor in ``u = 1/L0^2``, :func:`fitting_expansion_spec`) and
+    ``delta = max(PSD_glao - PSD_fit, 0)`` is the (ndir, s, s) correction
+    -zone excess (the reference's max-merge, psfrec.py:148-149, minus the
+    fitting floor).  Both are in nm^2 (psfrec.py:151 scaling applied).
+    """
+    from ..core.vonkarman import (fitting_expansion_spec, fitting_psd as
+                                  _fit_psd, CST_VK_EXACT)
+    dtype = jnp.dtype(cfg.dtype)
+    psd_dir, r0ref = _glao_block_psd(seeing, GL, L0, gs_mask, h, wind_speed,
+                                     npsflin, cfg, zenith)
+
+    nm2 = (cfg.lambda_ref * 1000.0 / (2 * np.pi)) ** 2
+    fit_blk = _fit_psd(jnp.asarray(_f_block(cfg), dtype), r0ref, L0, cfg.fc)
+    delta = jnp.maximum(psd_dir - fit_blk[None], 0.0) * nm2
+
+    u0, binoms = fitting_expansion_spec(cfg.dphi_split_l0_min,
+                                        cfg.dphi_split_degree)
+    u = 1.0 / (L0 * L0)
+    du = (u - u0).astype(dtype)
+    # du^k via cumprod (jnp.power NaNs on negative base w/ float exponent)
+    powers = jnp.concatenate([jnp.ones((1,), dtype),
+                              jnp.cumprod(jnp.full(len(binoms) - 1, du,
+                                                   dtype))])
+    amp = nm2 * CST_VK_EXACT * r0ref ** (-5.0 / 3.0)
+    w = amp * jnp.asarray(binoms, dtype) * powers
+    return w, delta
 
 
 def simulate_psd(seeing, GL, L0, gs_mask, h, wind_speed, npsflin: int,
@@ -335,3 +397,27 @@ def simulate_psd(seeing, GL, L0, gs_mask, h, wind_speed, npsflin: int,
     return _simulate_psd_static(seeing, GL, L0, gs_mask, h_t,
                                 float(wind_speed), npsflin, cfg,
                                 zenith=zenith)
+
+
+def simulate_psd_split(seeing, GL, L0, gs_mask, h, wind_speed, npsflin: int,
+                       cfg: GalacsiConfig, zenith=0.0):
+    """Split-form residual PSD: ``(w, delta)`` such that
+
+        simulate_psd(...) == sum_k w_k * B_k(cfg) + embed_central(delta)
+
+    with ``B_k`` the fitting-PSD Taylor basis (telemetry-independent; see
+    ``otf/psf.py:fitting_dphi_basis`` for its structure-function
+    transforms).  Exact to the certified expansion error (<=1e-7 relative
+    on the fitting PSD for ``L0 >= cfg.dphi_split_l0_min``); callers must
+    check the L0 range on the host (``parallel/batch.py`` does) and fall
+    back to :func:`simulate_psd` outside it.
+    """
+    if not cfg.lse:
+        raise NotImplementedError(
+            "the batched pipeline is LSE-only (as shipped in the "
+            "reference); the MAP prior is available through "
+            "glao_reconstructor / the muse_psfr compat layer")
+    h_t = tuple(float(x) for x in np.asarray(h).ravel())
+    return _simulate_psd_split_static(seeing, GL, L0, gs_mask, h_t,
+                                      float(wind_speed), npsflin, cfg,
+                                      zenith=zenith)

@@ -1,38 +1,65 @@
-"""Pallas fused exp+zoom kernel: interpreter-mode correctness on CPU.
+"""Pallas fused direction-averaged exp+zoom kernel: interpreter-mode
+correctness on CPU.
 
 The kernel itself targets TPU; ``interpret=True`` validates the math on
-the CPU test backend.  The on-TPU numerical check (1.6e-6 relative vs a
-float64 reference) is exercised by the pipeline parity path when
+the CPU test backend, including the multi-wavelength chunking and the
+multi-direction accumulation (the npsflin=3 production case).  The
+on-TPU numerical check is exercised by the pipeline parity path when
 ``use_pallas=True`` on real hardware.
 """
 
 import numpy as np
-import jax
 import jax.numpy as jnp
+import pytest
 from numpy.testing import assert_allclose
 
-from jax.experimental import pallas as pl
 from muse_psfr_tpu.ops import zoom_dft
 
 
-def test_fused_exp_zoom_interpret(monkeypatch):
-    orig = pl.pallas_call
+def _reference(dphi, dl, a2, alpha, w):
+    nl = a2.shape[0]
+    out = []
+    for l in range(nl):
+        g = sum(np.exp(alpha[l] * dphi[d].astype(np.float64)) * w[l, d]
+                for d in range(dphi.shape[0])) * dl.astype(np.float64)
+        out.append(a2[l].astype(np.float64) @ g)
+    return np.stack(out)
 
-    def interp_call(*args, **kw):
-        kw["interpret"] = True
-        return orig(*args, **kw)
 
-    monkeypatch.setattr(pl, "pallas_call", interp_call)
-
-    n, m2 = 512, 32
+@pytest.mark.parametrize("ndir,nl", [(1, 1), (1, 3), (4, 2), (9, 3)])
+def test_fused_exp_zoom_interpret(ndir, nl):
+    n, m2 = 256, 32
     rng = np.random.default_rng(3)
-    dphi = rng.uniform(0, 40, (n, n)).astype(np.float32)
+    dphi = rng.uniform(0, 40, (ndir, n, n)).astype(np.float32)
     dl = rng.uniform(0, 1, (n, n)).astype(np.float32)
-    a2 = (rng.normal(size=(m2, n)) / n).astype(np.float32)
-    alpha, w = -0.2, 1.3
+    a2 = (rng.normal(size=(nl, m2, n)) / n).astype(np.float32)
+    alpha = rng.uniform(-0.3, -0.1, nl).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, (nl, ndir)).astype(np.float32)
 
     u = zoom_dft.fused_exp_zoom(jnp.asarray(dphi), jnp.asarray(dl),
-                                jnp.asarray(a2), alpha, w, tile_j=128)
-    g = np.exp(alpha * dphi.astype(np.float64)) * dl.astype(np.float64) * w
-    ref = a2.astype(np.float64) @ g
+                                jnp.asarray(a2), alpha, w, tile_j=128,
+                                interpret=True)
+    ref = _reference(dphi, dl, a2, alpha, w)
     assert_allclose(np.asarray(u, np.float64), ref, rtol=0, atol=5e-7)
+
+
+def test_psf_chunk_pallas_matches_xla():
+    """The fused chunk path must match the XLA zoom path exactly (both
+    f32) on a multi-direction structure function."""
+    import jax
+    from muse_psfr_tpu.config import TINY_CONFIG
+    from muse_psfr_tpu.psd.model import simulate_psd, effective_wind_speed
+    from muse_psfr_tpu.otf.psf import (dphi_base, psf_cube_from_base,
+                                       _psf_chunk_pallas, pupil_otf,
+                                       lambda_crop_size)
+    cfg = TINY_CONFIG
+    h = (100, 10000)
+    ws = effective_wind_speed(h, cfg)
+    psd = simulate_psd(1.0, 0.7, 25.0, jnp.ones(4, cfg.dtype), h, ws, 2, cfg)
+    base = dphi_base(psd.astype(cfg.dtype), cfg)
+    lb = jnp.asarray([700.0, 800.0, 900.0], cfg.dtype)
+    want = psf_cube_from_base(base, lb, cfg)     # CPU -> XLA zoom path
+    npx = lambda_crop_size(lb, cfg)
+    got = _psf_chunk_pallas(base, pupil_otf(cfg), lb, npx, cfg,
+                            interpret=True)
+    assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=2e-6)
