@@ -32,8 +32,10 @@ import jax.numpy as jnp
 
 from muse_psfr_tpu.config import GalacsiConfig
 from muse_psfr_tpu.parallel.batch import resolve_fft_mode
-from muse_psfr_tpu.psd.model import simulate_psd, effective_wind_speed
-from muse_psfr_tpu.otf.psf import dphi_base, psf_cube
+from muse_psfr_tpu.psd.model import (simulate_psd, simulate_psd_split,
+                                     effective_wind_speed)
+from muse_psfr_tpu.otf.psf import (dphi_base, dphi_base_split,
+                                   psf_cube_from_base)
 from muse_psfr_tpu.otf.convolve import convolve_final
 from muse_psfr_tpu.fit.moffat_fit import fit_moffat_cube_packed
 
@@ -44,32 +46,45 @@ H = (100, 10000)
 
 
 def build_prefixes(cfg):
+    """Nested prefixes of the PRODUCTION path (reconstruct_one): with
+    cfg.use_dphi_split the psd stage yields (w, delta) and the dphi stage
+    is the split block transform; otherwise the exact full transform."""
     ws = effective_wind_speed(H, cfg)
 
-    def one_psd(s, g, l, m):
-        return simulate_psd(s, g, l, m, H, ws, NPSFLIN, cfg)
+    def one_base(r):
+        if cfg.use_dphi_split:
+            w, delta = simulate_psd_split(r[0], r[1], r[2], r[3:7], H, ws,
+                                          NPSFLIN, cfg)
+            return dphi_base_split(w, delta, cfg)
+        return dphi_base(
+            simulate_psd(r[0], r[1], r[2], r[3:7], H, ws, NPSFLIN, cfg), cfg)
 
     def p_psd(t, lb):
-        return jnp.sum(jax.vmap(
-            lambda r: jnp.sum(one_psd(r[0], r[1], r[2], r[3:7])))(t))
+        def one(r):
+            if cfg.use_dphi_split:
+                w, delta = simulate_psd_split(r[0], r[1], r[2], r[3:7], H,
+                                              ws, NPSFLIN, cfg)
+                return jnp.sum(w) + jnp.sum(delta)
+            return jnp.sum(simulate_psd(r[0], r[1], r[2], r[3:7], H, ws,
+                                        NPSFLIN, cfg))
+        return jnp.sum(jax.vmap(one)(t))
 
     def p_dphi(t, lb):
-        return jnp.sum(jax.vmap(lambda r: jnp.sum(
-            dphi_base(one_psd(r[0], r[1], r[2], r[3:7]), cfg)))(t))
+        return jnp.sum(jax.vmap(lambda r: jnp.sum(one_base(r)))(t))
 
     def p_zoom(t, lb):
         return jnp.sum(jax.vmap(lambda r: jnp.sum(
-            psf_cube(one_psd(r[0], r[1], r[2], r[3:7]), lb, cfg)))(t))
+            psf_cube_from_base(one_base(r), lb, cfg)))(t))
 
     def p_conv(t, lb):
         def one(r):
-            psf = psf_cube(one_psd(r[0], r[1], r[2], r[3:7]), lb, cfg)
+            psf = psf_cube_from_base(one_base(r), lb, cfg)
             return jnp.sum(convolve_final(psf, lb, r[0], r[1], r[2], cfg))
         return jnp.sum(jax.vmap(one)(t))
 
     def p_fit(t, lb):
         def one(r):
-            psf = psf_cube(one_psd(r[0], r[1], r[2], r[3:7]), lb, cfg)
+            psf = psf_cube_from_base(one_base(r), lb, cfg)
             return convolve_final(psf, lb, r[0], r[1], r[2], cfg)
         cubes = jax.vmap(one)(t)
         return jnp.sum(fit_moffat_cube_packed(cubes, dtype=cfg.fit_dtype))

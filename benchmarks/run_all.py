@@ -95,8 +95,16 @@ def main():
                      % (name, n, t, n / t, (n / t) / base["rows_per_sec"]))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "RESULTS.md")
+    # keep the manually curated historical tables (everything from the
+    # first "## Historical" heading on)
+    history = ""
+    if os.path.exists(out):
+        old = open(out).read()
+        idx = old.find("## Historical")
+        if idx >= 0:
+            history = "\n" + old[idx:]
     with open(out, "w") as fh:
-        fh.write("\n".join(lines) + "\n")
+        fh.write("\n".join(lines) + "\n" + history)
     print(json.dumps({r[0]: round(r[2], 3) for r in rows}))
 
 

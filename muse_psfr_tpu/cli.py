@@ -26,18 +26,27 @@ def build_parser():
     parser = argparse.ArgumentParser(
         description=f"MUSE-PSFR version {__version__}")
     add = parser.add_argument
-    add("raw", help="observation raw file name", nargs="?")
-    add("--values", help="values of seeing, GL, L0, to use instead of the "
-        "raw file, comma-separated")
-    add("--logfile", default="muse_psfr.log", help="name of log file")
-    add("-o", "--outfile", help="name of a FITS file in which the results "
-        "are saved: table with individual and mean Moffat fits, and mean "
-        "reconstructed PSF")
-    add("--njobs", default=-1, type=int, help="number of parallel jobs "
-        "(by default use all CPUs)")
-    add("--verbose", "-v", action="store_true", help="verbose flag")
-    add("--no-color", action="store_true", help="no color in output")
-    add("--plot", action="store_true", help="plot reconstructed psf")
+    add("raw", nargs="?",
+        help="MUSE raw exposure (FITS) carrying a SPARTA_ATM_DATA "
+             "telemetry extension")
+    add("--values",
+        help="skip the raw file and reconstruct directly from a "
+             "'seeing,GL,L0' triple (arcsec, fraction, metres)")
+    add("--logfile", default="muse_psfr.log",
+        help="append the result block to this text file")
+    add("-o", "--outfile",
+        help="write the full result (per-row and mean Moffat fit tables "
+             "+ mean PSF cube) to this FITS file")
+    add("--njobs", default=-1, type=int,
+        help="accepted for compatibility with the reference CLI; the "
+             "batch runs on-device regardless")
+    add("--verbose", "-v", action="store_true",
+        help="DEBUG-level logging (per-stage numerics)")
+    add("--no-color", action="store_true",
+        help="plain-text result block (no ANSI styling)")
+    add("--plot", action="store_true",
+        help="show the diagnostic figure (PSF image, geometry, radial "
+             "profile, FWHM/beta trends)")
     add("--version", action="version", version="%(prog)s " + __version__)
     return parser
 

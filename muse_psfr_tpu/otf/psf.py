@@ -309,7 +309,7 @@ def _psf_chunk_pallas(base, dl, lb_k, npix_k, cfg, interpret=False):
     w = 1.0 / (ndir * norm)                                  # (k, ndir)
 
     u = fused_exp_zoom(base, dl, a2, alpha, w,
-                       precision=cfg.matmul_precision, interpret=interpret)
+                       precision=cfg.zoom_precision, interpret=interpret)
     m = 2 * nout
     mm = _mm(cfg)
     p = (mm(u[:, :m], jnp.swapaxes(ar, 1, 2))

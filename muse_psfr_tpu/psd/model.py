@@ -246,9 +246,20 @@ def _glao_static_transfer(h, wind_speed, npsflin, cfg: GalacsiConfig):
         Mv = (lag * w_res[None, None] *
               np.exp(2j * np.pi * h_arr[:, None, None, None] * ph[None]))
 
+        # telemetry-independent reconstructor pieces for the MAP law:
+        # S_l = sum_g conj(M_g)/sig_g * Mv_{l,g} and D0 = sum_g |M_g|^2
+        # /sig_g, so that W(prior) = conj(M)/sig / (D0 + prior) and the
+        # residual projector is proj = p_beta - p_dm S_l/(D0 + prior) —
+        # only the scalar field 1/(D0 + prior(r0, L0)) is telemetry
+        # -dependent (reference psfrec.py:297-324 with its per-pixel
+        # inversion made algebraic)
+        S = np.einsum("gxy,lgxy->lxy", num, Mv)          # (l, s, s)
+
         dT = ti.max() + td
         proj2 = np.empty((nl, ndir, s, s))
         noise = np.empty((ndir, s, s))
+        p_re = np.empty((nl, ndir, s, s))
+        p_im = np.empty((nl, ndir, s, s))
         for d in range(ndir):
             bdot = dirs[0, d] * f_x + dirs[1, d] * f_y
             p_beta = np.exp(2j * np.pi * (
@@ -260,17 +271,26 @@ def _glao_static_transfer(h, wind_speed, npsflin, cfg: GalacsiConfig):
             p_model = np.einsum("gxy,lgxy->lxy", p_w, Mv)
             proj2[:, d] = np.abs(p_beta - p_model) ** 2
             noise[d] = np.sum(np.abs(p_w) ** 2 * sig[:, None, None], axis=0)
+            P = p_beta.conj() * p_dm[None] * S           # (l, s, s)
+            p_re[:, d] = P.real
+            p_im[:, d] = P.imag
         # DC zeroing (psfrec.py:490, 516): the [0,0] frequency of both terms
         proj2[:, :, 0, 0] = 0.0
         noise[:, 0, 0] = 0.0
         # QUIRK: IDL row/column transpose, then DC to centre for the merge
-        proj2 = np.fft.fftshift(np.swapaxes(proj2, -1, -2), axes=(-2, -1))
-        noise = np.fft.fftshift(np.swapaxes(noise, -1, -2), axes=(-2, -1))
-        out["proj2_" + tag] = proj2
-        out["noise_" + tag] = noise
+        shift = lambda a: np.fft.fftshift(np.swapaxes(a, -1, -2),  # noqa
+                                          axes=(-2, -1))
+        out["proj2_" + tag] = shift(proj2)
+        out["noise_" + tag] = shift(noise)
+        out["p_re_" + tag] = shift(p_re)
+        out["p_im_" + tag] = shift(p_im)
+        out["d0_" + tag] = shift(den)
 
     # |f|^2 on the (transposed, shifted) grid — |f| is symmetric under both
     out["f2"] = np.fft.fftshift(f * f)
+    dc = np.ones((s, s))
+    dc[s // 2, s // 2] = 0.0        # original [0, 0] after the fftshift
+    out["dc_mask"] = dc
     _STATIC_TRANSFER_CACHE[key] = out
     return out
 
@@ -291,10 +311,29 @@ def _glao_block_psd(seeing, GL, L0, gs_mask, h, wind_speed,
         (f2 + 1.0 / (L0 * L0)) ** (-11.0 / 6.0)          # (s, s)
 
     def variant(tag):
-        proj2 = jnp.asarray(const["proj2_" + tag], dtype)  # (l, ndir, s, s)
-        noise = jnp.asarray(const["noise_" + tag], dtype)  # (ndir, s, s)
+        if cfg.lse:
+            # LSE: the projector is telemetry-independent — |proj|^2 and
+            # the noise term are float64 precomputed constants
+            proj2 = jnp.asarray(const["proj2_" + tag], dtype)
+            noise = jnp.asarray(const["noise_" + tag], dtype)
+            err = jnp.einsum("ldxy,l->dxy", proj2 * radial[None, None], cn2)
+            return err + noise
+        # MAP: the prior enters the per-frequency inversion through the
+        # telemetry (r0, L0), so the scalar field inv = 1/(D0 + Cphi^-1)
+        # is traced; |proj|^2 = |1 - P*inv|^2 with P precomputed
+        # (reference psfrec.py:300-324 prior, recons_cn2 = 1, err_R0 = 1)
+        d0 = jnp.asarray(const["d0_" + tag], dtype)         # (s, s)
+        dc = jnp.asarray(const["dc_mask"], dtype)
+        prior_inv = ((f2 + 1.0 / (L0 * L0)) ** (11.0 / 6.0)
+                     * r0ref ** (5.0 / 3.0) / 0.0229)
+        den = d0 + prior_inv
+        inv = jnp.where(den != 0, 1.0 / jnp.where(den == 0, 1.0, den), 0.0)
+        inv = inv * dc                  # piston filtered (psfrec.py:305,352)
+        re = 1.0 - jnp.asarray(const["p_re_" + tag], dtype) * inv
+        im = jnp.asarray(const["p_im_" + tag], dtype) * inv
+        proj2 = re * re + im * im                           # (l, ndir, s, s)
         err = jnp.einsum("ldxy,l->dxy", proj2 * radial[None, None], cn2)
-        return err + noise
+        return (err + d0 * inv * inv) * dc
 
     # the two reference geometries (psfrec.py:86-91); the mask's 4th entry
     # selects between them exactly as in the reference's 3-laser mode
@@ -386,13 +425,10 @@ def simulate_psd(seeing, GL, L0, gs_mask, h, wind_speed, npsflin: int,
     :func:`effective_wind_speed`; ``h`` must be concrete (it becomes part
     of the float64 static transfer functions).  ``zenith`` [deg] only
     rescales the Fried parameter (the line-of-sight altitudes are computed
-    but unused in the reference, psfrec.py:109-112).
+    but unused in the reference, psfrec.py:109-112).  ``cfg.lse=False``
+    uses the MAP prior (reference psfrec.py:300-324; the shipped reference
+    pipeline hardcodes LSE at psfrec.py:96 but its MAP path is callable).
     """
-    if not cfg.lse:
-        raise NotImplementedError(
-            "the batched pipeline is LSE-only (as shipped in the "
-            "reference); the MAP prior is available through "
-            "glao_reconstructor / the muse_psfr compat layer")
     h_t = tuple(float(x) for x in np.asarray(h).ravel())
     return _simulate_psd_static(seeing, GL, L0, gs_mask, h_t,
                                 float(wind_speed), npsflin, cfg,
@@ -412,11 +448,6 @@ def simulate_psd_split(seeing, GL, L0, gs_mask, h, wind_speed, npsflin: int,
     check the L0 range on the host (``parallel/batch.py`` does) and fall
     back to :func:`simulate_psd` outside it.
     """
-    if not cfg.lse:
-        raise NotImplementedError(
-            "the batched pipeline is LSE-only (as shipped in the "
-            "reference); the MAP prior is available through "
-            "glao_reconstructor / the muse_psfr compat layer")
     h_t = tuple(float(x) for x in np.asarray(h).ravel())
     return _simulate_psd_split_static(seeing, GL, L0, gs_mask, h_t,
                                       float(wind_speed), npsflin, cfg,

@@ -36,11 +36,12 @@ def test_fused_exp_zoom_interpret(ndir, nl):
     alpha = rng.uniform(-0.3, -0.1, nl).astype(np.float32)
     w = rng.uniform(0.5, 1.5, (nl, ndir)).astype(np.float32)
 
-    u = zoom_dft.fused_exp_zoom(jnp.asarray(dphi), jnp.asarray(dl),
-                                jnp.asarray(a2), alpha, w, tile_j=128,
-                                interpret=True)
     ref = _reference(dphi, dl, a2, alpha, w)
-    assert_allclose(np.asarray(u, np.float64), ref, rtol=0, atol=5e-7)
+    for prec, atol in (("highest", 5e-7), ("high", 5e-5)):
+        u = zoom_dft.fused_exp_zoom(jnp.asarray(dphi), jnp.asarray(dl),
+                                    jnp.asarray(a2), alpha, w, tile_j=128,
+                                    precision=prec, interpret=True)
+        assert_allclose(np.asarray(u, np.float64), ref, rtol=0, atol=atol)
 
 
 def test_psf_chunk_pallas_matches_xla():

@@ -58,13 +58,22 @@ def test_fit_poly(tmp_path):
     assert_allclose(res["fwhm_fit"][8], fit["fwhm"][1][0], atol=1e-2)
 
     # float32 default path: same contract at the amplified noise floor
-    res32 = compute_psf_from_sparta(hdul, lmin=500, lmax=900, nl=9)
-    fit32 = FitTable.from_hdu(res32["FIT_ROWS"])
+    hdul32 = compute_psf_from_sparta(hdul, lmin=500, lmax=900, nl=9)
+    fit32 = FitTable.from_hdu(hdul32["FIT_ROWS"])
     res32 = fit_psf_with_polynom(fit32["lbda"], fit32["fwhm"][:, 0],
                                  fit32["n"], deg=(5, 5), output=1)
     assert_allclose(res32["fwhm_pol"][0], 0.65, atol=3e-2)
     assert_allclose(res32["beta_pol"][0], 0.78, atol=3e-2)
     assert_allclose(fit32["n"], fit["n"], atol=5e-3)
+
+    # FIT_MEAN is refit in float64 on the host CPU backend
+    # (fit_moffat_cube_host64), restoring the reference's 1e-2 polynomial
+    # contract even when the accelerator pipeline is float32
+    fitm = FitTable.from_hdu(hdul32["FIT_MEAN"])
+    resm = fit_psf_with_polynom(fitm["lbda"], fitm["fwhm"][:, 0],
+                                fitm["n"], deg=(5, 5))
+    assert_allclose(resm["fwhm_pol"][0], 0.65, atol=1.1e-2)
+    assert_allclose(resm["beta_pol"][0], 0.78, atol=1.1e-2)
 
 
 def test_reconstruction2(tmp_path):
