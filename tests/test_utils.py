@@ -65,3 +65,23 @@ def test_pull_packed_restores_shapes_and_values():
     assert_allclose(out_a, a)
     assert_allclose(out_b, b)
     assert out_c.shape == () and out_c == c
+
+
+def test_moffat_fit_pathological_planes_flagged():
+    """Degenerate planes (all-NaN telemetry, empty frames) must come back
+    flagged as NaN — the Cholesky LM rejects non-SPD steps instead of
+    silently stepping on garbage — and must not perturb the finite planes
+    batched alongside them (vmap isolation)."""
+    import numpy as np
+    from muse_psfr_tpu.fit.moffat_fit import fit_moffat_cube
+
+    yy, xx = np.mgrid[:40, :40]
+    good = 3.0 * (1 + ((yy - 20.3) ** 2 + (xx - 19.6) ** 2) / 16.0) ** -2.4
+    cube = np.stack([good, np.full((40, 40), np.nan),
+                     np.zeros((40, 40)), good])
+    f = fit_moffat_cube(cube, dtype="float32")
+    assert np.all(np.isnan(f["fwhm"][1:3]))       # flagged, not garbage
+    assert np.all(np.isnan(f["err_fwhm"][1:3]))
+    assert np.isfinite(f["fwhm"][0]).all()
+    np.testing.assert_array_equal(f["fwhm"][0], f["fwhm"][3])
+    np.testing.assert_allclose(f["n"][0], 2.4, atol=1e-4)
