@@ -85,6 +85,22 @@ class GalacsiConfig:
                                # dphi_split_l0_min.
     dphi_split_degree: int = 3
     dphi_split_l0_min: float = 5.0
+    use_sym_fold: bool = True  # point-symmetry fold of the OTF-side
+                               # contractions: PSDs and the pupil
+                               # autocorrelation are transforms of real
+                               # fields, so every OTF-side array satisfies
+                               # G[i, j] = G[(N-i)%N, (N-j)%N]; the final
+                               # zoom contraction's per-column terms are
+                               # then equal in mirrored pairs and only
+                               # columns 0..N/2 need computing (mirrors
+                               # get weight 2).  Cuts the dominant exp +
+                               # zoom-matmul work ~1.67x (10 -> 6 column
+                               # tiles at dim=1280) and the structure-
+                               # function transform ~2.5x.  Exact up to
+                               # float-noise symmetrisation (measured
+                               # against the f64 oracle); requires
+                               # dim % 256 == 0 and the zoom-DFT path,
+                               # silently off otherwise.
     use_pallas: bool = True    # fused exp+zoom-DFT Pallas kernel (TPU only,
                                # float32, single-direction, dim % 256 == 0;
                                # silently falls back to the XLA zoom path
@@ -111,6 +127,20 @@ class GalacsiConfig:
     def fc(self) -> float:
         """AO cutoff frequency 1/(2*pitch) [1/m]."""
         return 1.0 / (2.0 * self.pitch)
+
+    @property
+    def fold_ncols(self):
+        """OTF-grid columns actually computed under the symmetry fold.
+
+        ``dim//2 + 128`` (columns 0..dim/2 rounded up to a full 128-lane
+        tile; the pad columns carry zero fold weight), or ``None`` when
+        the fold does not apply (no zoom-DFT resampling, or ``dim`` not a
+        multiple of 256 — the fold needs dim/2 tile-aligned).
+        """
+        if not (self.use_sym_fold and self.use_zoom_dft
+                and self.dim % 256 == 0):
+            return None
+        return min(self.dim, self.dim // 2 + 128)
 
     @property
     def npup(self) -> int:

@@ -39,12 +39,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(alpha_ref, w_ref, dphi_ref, dl_ref, a2_ref, u_ref, gsum_ref,
-            *, precision):
+def _kernel(alpha_ref, w_ref, dphi_ref, dl_ref, *rest, precision):
     # alpha_ref: (nl,) SMEM; w_ref: (nl, ndir) SMEM
     # dphi_ref: (1, N, TJ) — direction d's column slab
-    # dl_ref: (N, TJ); a2_ref: (nl, 2M, N); u_ref: (nl, 2M, TJ)
+    # dl_ref: (N, TJ); then either a2 (nl, 2M, N) f32 ["highest"] or its
+    # precomputed bf16 hi/lo split ["high"]; u_ref: (nl, 2M, TJ)
     # gsum_ref: (nl, N, TJ) VMEM scratch, accumulated over direction steps
+    a2_ref, u_ref, gsum_ref = rest
     d = pl.program_id(1)
     ndir = pl.num_programs(1)
     nl = gsum_ref.shape[0]
@@ -67,12 +68,17 @@ def _kernel(alpha_ref, w_ref, dphi_ref, dl_ref, a2_ref, u_ref, gsum_ref,
         dims = (((1,), (0,)), ((), ()))
         for l in range(nl):
             g = gsum_ref[l] * dlt
-            a = a2_ref[l]
             if precision == "high":
                 # Mosaic rejects Precision.HIGH, so the 3-pass bf16
                 # scheme (hi*hi + hi*lo + lo*hi, f32 accumulation) is
                 # spelled out: half the MXU passes of HIGHEST at ~1e-6
-                # relative (the dropped lo*lo term is ~2^-16 relative)
+                # relative (the dropped lo*lo term is ~2^-16 relative).
+                # PITFALL: the hi/lo split MUST happen inside the kernel
+                # (Mosaic) — in XLA on TPU, `a - f32(bf16(a))` is
+                # algebraically simplified to zero (the convert round
+                # trip is treated as identity), which silently degrades
+                # the scheme to one bf16 pass (~3e-3; measured, 2026-08)
+                a = a2_ref[l]
                 a_hi = a.astype(jnp.bfloat16)
                 a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
                 g_hi = g.astype(jnp.bfloat16)
@@ -84,7 +90,7 @@ def _kernel(alpha_ref, w_ref, dphi_ref, dl_ref, a2_ref, u_ref, gsum_ref,
                 # single-bf16-pass Mosaic default costs ~3e-3 relative —
                 # far outside the accuracy budget; never use "default"
                 u_ref[l] = jax.lax.dot_general(
-                    a, g, dims, precision=jax.lax.Precision.HIGHEST,
+                    a2_ref[l], g, dims, precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
 
 
@@ -93,14 +99,19 @@ def fused_exp_zoom(dphi, dl, a2, alpha, w, tile_j: int = 128,
                    precision: str = "highest", interpret: bool = False):
     """U[l] = A2[l] @ (sum_d exp(alpha[l]*Dphi[d]) * w[l,d] * dl).
 
-    dphi: (ndir, N, N) float32; dl: (N, N) float32; a2: (nl, 2M, N)
-    float32 stacked per-wavelength [Ar; Ai] zoom-DFT matrices; alpha:
-    (nl,) scalars; w: (nl, ndir) direction weights.  Returns (nl, 2M, N)
-    float32.  G is never materialised and Dphi is read once per chunk.
+    dphi: (ndir, N, ncols) float32 — ``ncols`` may be less than N under
+    the point-symmetry fold (otf/psf.py:_fold_weights): only the first
+    ncols columns of the OTF are computed, the caller folds mirrored
+    columns into the second zoom stage.  dl: (N, >=ncols) float32; a2:
+    (nl, 2M, N) float32 stacked per-wavelength [Ar; Ai] zoom-DFT
+    matrices; alpha: (nl,) scalars; w: (nl, ndir) direction weights.
+    Returns (nl, 2M, ncols) float32.  G is never materialised and Dphi
+    is read once per chunk.
     """
-    ndir, n, _ = dphi.shape
+    ndir, n, ncols = dphi.shape
     nl, m2, _ = a2.shape
-    assert n % tile_j == 0, (n, tile_j)
+    assert ncols % tile_j == 0, (ncols, tile_j)
+    assert dl.shape[0] == n and dl.shape[1] >= ncols, (dl.shape, n, ncols)
     alpha = jnp.asarray(alpha, jnp.float32)
     w = jnp.asarray(w, jnp.float32)
     if precision not in ("highest", "high"):
@@ -108,7 +119,7 @@ def fused_exp_zoom(dphi, dl, a2, alpha, w, tile_j: int = 128,
                          "'default' (1-pass bf16) is outside the accuracy "
                          "budget")
 
-    grid = (n // tile_j, ndir)
+    grid = (ncols // tile_j, ndir)
     return pl.pallas_call(
         partial(_kernel, precision=precision),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -123,15 +134,15 @@ def fused_exp_zoom(dphi, dl, a2, alpha, w, tile_j: int = 128,
                                    lambda j, d, a, wt: (0, 0, j)),
             scratch_shapes=[pltpu.VMEM((nl, n, tile_j), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((nl, m2, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nl, m2, ncols), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             # column tiles are disjoint; directions accumulate in order
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nl * m2 * n * n + 2 * nl * ndir * n * n,
-            bytes_accessed=4 * (ndir + 1) * n * n + 2 * 4 * nl * m2 * n,
-            transcendentals=nl * ndir * n * n,
+            flops=2 * nl * m2 * n * ncols + 2 * nl * ndir * n * ncols,
+            bytes_accessed=4 * (ndir + 1) * n * ncols + 2 * 4 * nl * m2 * n,
+            transcendentals=nl * ndir * n * ncols,
         ),
         interpret=interpret,
     )(alpha, w, dphi, dl, a2)

@@ -102,8 +102,30 @@ def _mm(cfg: GalacsiConfig):
                    precision=jax.lax.Precision(cfg.matmul_precision))
 
 
+def _fold_weights(dim: int, ncols: int, dtype):
+    """Column weights of the point-symmetry fold (``cfg.use_sym_fold``).
+
+    Every OTF-side array here is the transform of a real field (PSD,
+    structure function, pupil autocorrelation), hence point-symmetric:
+    ``G[i, j] = G[(N-i) % N, (N-j) % N]``.  The zoom/dphi contractions'
+    per-column terms are then equal in mirrored pairs ``(j, N-j)`` —
+    proven from the parity of the DFT row matrices (cos rows even, sin
+    rows odd under ``g -> (N-g) % N``) — so summing columns ``0..N/2``
+    with mirror weight 2 (columns 0 and N/2 are self-paired; anything
+    beyond N/2 is dead tile padding) reproduces the full sum exactly up
+    to float-noise asymmetry of the inputs.
+    """
+    v = np.zeros(ncols)
+    v[0] = 1.0
+    v[1:dim // 2] = 2.0
+    v[dim // 2] = 1.0
+    return jnp.asarray(v, dtype)
+
+
 def dphi_base(psd, cfg: GalacsiConfig):
-    """Wavelength-free structure function (ndir, dim, dim), image-centred.
+    """Wavelength-free structure function (ndir, dim, dim), image-centred
+    ((ndir, dim, cfg.fold_ncols) under the point-symmetry fold — the zoom
+    path reconstructs the mirrored columns' contribution exactly).
 
     ``Dphi(lbda) = convnm(lbda)^2 * dphi_base`` where ``convnm = 2 pi /
     lbda_nm``.  Follows reference psfrec.py:716-722 with the ``convnm``
@@ -116,19 +138,38 @@ def dphi_base(psd, cfg: GalacsiConfig):
     sampnum = dim / cfg.npup
     L = cfg.dpup * sampnum
     scale = dim * dim / (L * L)
+    ncols = cfg.fold_ncols
     if cfg.use_fft:
         cdtype = jnp.dtype(cfg.cdtype)
         bg = jnp.fft.ifft2(
             jnp.fft.fftshift(psd, axes=(-2, -1)).astype(cdtype)) * scale
         d = 2.0 * (bg[..., :1, :1].real - bg.real)
-        return jnp.fft.fftshift(d, axes=(-2, -1)).astype(cfg.dtype)
+        d = jnp.fft.fftshift(d, axes=(-2, -1)).astype(cfg.dtype)
+        return d if ncols is None else d[..., :ncols]
 
     dtype = jnp.dtype(cfg.dtype)
     c, s = _centered_idft_matrices(dim, dtype)
     x = psd.astype(dtype)
     mm = _mm(cfg)
-    # centred Re(bg): C X C^T - S X S^T, batched over the direction axis
-    re_bg = mm(mm(c, x), c.T) - mm(mm(s, x), s.T)
+    if ncols is None:
+        # centred Re(bg): C X C^T - S X S^T, batched over the directions
+        re_bg = mm(mm(c, x), c.T) - mm(mm(s, x), s.T)
+    else:
+        # point-symmetry fold (see _fold_weights).  The raw GLAO PSD is
+        # NOT f -> -f symmetric (the temporal transfer functions depend
+        # on f.v, and the wind direction breaks the parity) — but the
+        # real part of its inverse transform equals the transform of the
+        # symmetrised PSD, so symmetrising first (elementwise, O(N^2))
+        # is exact; (C X_sym) is then even / (S X_sym) odd in the column
+        # index and the contraction folds onto columns 0..N/2: ~2.5x
+        # fewer matmul FLOPs at dim=1280
+        nh = dim // 2 + 1
+        v = _fold_weights(dim, nh, dtype)
+        xs = 0.5 * (x + jnp.roll(x[..., ::-1, ::-1], (1, 1),
+                                 axis=(-2, -1)))
+        xh = xs[..., :nh]
+        re_bg = (mm(mm(c, xh) * v, c[:ncols, :nh].T)
+                 - mm(mm(s, xh) * v, s[:ncols, :nh].T))
     bg00 = jnp.sum(x, axis=(-2, -1))[..., None, None] / (L * L)
     return (2.0 * (bg00 - re_bg * scale)).astype(dtype)
 
@@ -181,7 +222,9 @@ def fitting_dphi_basis(cfg: GalacsiConfig):
             t = 2.0 * (bg[0, 0] - bg)
             ts.append(np.fft.fftshift(t))
         _DPHI_BASIS_CACHE[key] = np.stack(ts).astype(cfg.dtype)
-    return jnp.asarray(_DPHI_BASIS_CACHE[key])
+    arr = _DPHI_BASIS_CACHE[key]
+    ncols = cfg.fold_ncols
+    return jnp.asarray(arr if ncols is None else arr[..., :ncols])
 
 
 def dphi_base_split(w, delta, cfg: GalacsiConfig):
@@ -201,17 +244,32 @@ def dphi_base_split(w, delta, cfg: GalacsiConfig):
     L = cfg.dpup * sampnum
     scale = dim * dim / (L * L)
 
-    T = fitting_dphi_basis(cfg)                          # (K+1, dim, dim)
+    T = fitting_dphi_basis(cfg)                 # (K+1, dim, dim or ncols)
     shared = jnp.sum(w.astype(dtype)[:, None, None] * T, axis=0)
 
     lo = dim // 2 - cfg.dim_pup
     s = delta.shape[-1]
-    c_blk, s_blk = _centered_idft_matrices(dim, dtype, cols=(lo, s))
     mm = _mm(cfg)
     x = delta.astype(dtype)                              # (ndir, s, s)
-    re_blk = (mm(mm(c_blk, x), c_blk.T)
-              - mm(mm(s_blk, x), s_blk.T))               # (ndir, dim, dim)
     bg00 = jnp.sum(x, axis=(-2, -1))[..., None, None] / (L * L)
+    if cfg.fold_ncols is None:
+        c_blk, s_blk = _centered_idft_matrices(dim, dtype, cols=(lo, s))
+        re_blk = (mm(mm(c_blk, x), c_blk.T)
+                  - mm(mm(s_blk, x), s_blk.T))           # (ndir, dim, dim)
+    else:
+        # fold (see dphi_base): symmetrise the correction block first —
+        # delta is NOT f -> -f symmetric (temporal terms), and its global
+        # mirror spans [lo, lo + s], one column/row wider than the block,
+        # so pad by one before folding; then emit only the ncols columns
+        # the zoom path reads (the Re-transform of the unfolded path
+        # symmetrises implicitly, so this is exact)
+        nc = cfg.fold_ncols
+        xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1)))
+        xs = 0.5 * (xp + xp[..., ::-1, ::-1])            # (ndir, s+1, s+1)
+        c_blk, s_blk = _centered_idft_matrices(dim, dtype,
+                                               cols=(lo, s + 1))
+        re_blk = (mm(mm(c_blk, xs), c_blk[:nc].T)
+                  - mm(mm(s_blk, xs), s_blk[:nc].T))     # (ndir, dim, nc)
     return (shared[None] + 2.0 * (bg00 - re_blk * scale)).astype(dtype)
 
 
@@ -312,8 +370,16 @@ def _psf_chunk_pallas(base, dl, lb_k, npix_k, cfg, interpret=False):
                        precision=cfg.zoom_precision, interpret=interpret)
     m = 2 * nout
     mm = _mm(cfg)
-    p = (mm(u[:, :m], jnp.swapaxes(ar, 1, 2))
-         - mm(u[:, m:], jnp.swapaxes(ai, 1, 2)))             # (k, m, m)
+    ncols = base.shape[-1]
+    if cfg.fold_ncols is not None:
+        # half-width structure function: fold the mirror weights into the
+        # second-stage matrices (see _fold_weights)
+        v = _fold_weights(dim, ncols, dtype)
+        ar2, ai2 = ar[..., :ncols] * v, ai[..., :ncols] * v
+    else:
+        ar2, ai2 = ar, ai
+    p = (mm(u[:, :m], jnp.swapaxes(ar2, 1, 2))
+         - mm(u[:, m:], jnp.swapaxes(ai2, 1, 2)))            # (k, m, m)
     out = jax.vmap(lambda pp, tt: _combine_bilinear(
         jnp.maximum(pp, 0.0), tt, nout))(p, t)
     return out / jnp.sum(out, axis=(-2, -1), keepdims=True)
@@ -336,9 +402,15 @@ def _psf_samples_zoom(mean_otf_centered, i0, t, nout: int, cfg):
     # never 'default' precision here: TPU f32 matmul defaults to one
     # bfloat16 pass, which costs ~1e-5 absolute on the PSF — the budget
     mm = _mm(cfg)
-    u_r = mm(ar, g)                                     # (2*nout, N)
+    ncols = g.shape[-1]
+    u_r = mm(ar, g)                                     # (2*nout, ncols)
     u_i = mm(ai, g)
-    p = mm(u_r, ar.T) - mm(u_i, ai.T)                   # (2*nout, 2*nout)
+    if cfg.fold_ncols is not None:
+        # half-width OTF: mirrored column pairs contribute equally
+        v = _fold_weights(dim, ncols, dtype)
+        p = mm(u_r * v, ar[:, :ncols].T) - mm(u_i * v, ai[:, :ncols].T)
+    else:
+        p = mm(u_r, ar.T) - mm(u_i, ai.T)               # (2*nout, 2*nout)
     return _combine_bilinear(jnp.maximum(p, 0.0), t, nout)
 
 
@@ -436,6 +508,12 @@ def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig):
     dl = pupil_otf(cfg)                             # (dim, dim)
     npixc = lambda_crop_size(lbda_nm.astype(dtype), cfg)  # (nl,) int32
 
+    ncols = dim if cfg.fold_ncols is None else cfg.fold_ncols
+    if base.shape[-1] != ncols:
+        raise ValueError(
+            f"structure-function width {base.shape[-1]} does not match the "
+            f"config's fold layout ({ncols}); produce `base` with "
+            "dphi_base/dphi_base_split under the same config")
     ndir = base.shape[0]
     if not cfg.use_fft and not cfg.use_zoom_dft:
         raise ValueError("the FFT-free mode (use_fft=False) requires the "
@@ -455,7 +533,7 @@ def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig):
         i0 = jnp.clip(i0f.astype(jnp.int32), 0, dim - 2)
 
         ao = jnp.exp(-0.5 * convnm2 * base)
-        prod = ao * dl[None]                        # (ndir, dim, dim)
+        prod = ao * dl[None, :, :base.shape[-1]]    # (ndir, dim, ncols)
         norm = prod[:, dim // 2, dim // 2]          # per-direction DC
         mean_otf = jnp.mean(prod / norm[:, None, None], axis=0)
         if cfg.use_zoom_dft:
