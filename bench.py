@@ -79,20 +79,21 @@ def main():
     # at dispatch), so compiles are per-process here.
     import jax
     from muse_psfr_tpu.config import GalacsiConfig
-    from muse_psfr_tpu.parallel.batch import process_batch, pull_packed
+    from muse_psfr_tpu.parallel.batch import process_batch
 
+    # the batch layer buckets rows by OTF support internally (a fixed
+    # reduced bucket + full window -> at most two compiled variants,
+    # shared by the timed night and the accuracy sub-batch)
     cfg = GalacsiConfig()
     lbda = np.linspace(490, 930, NL)
     seeing, GL, L0, mask = build_rows(N_ROWS)
     chunk = int(os.environ.get("BENCH_CHUNK", "25"))
 
     def run(n):
-        fit, psf_mean, fit_mean = process_batch(
-            seeing[:n], GL[:n], L0[:n], mask[:n], lbda,
-            npsflin=1, cfg=cfg, chunk=chunk)
-        # pull what a user consumes: per-row fit params + the mean PSF —
-        # one packed transfer (the tunneled link is latency-bound)
-        return pull_packed(fit, psf_mean, fit_mean)
+        # process_batch pulls what a user consumes (per-row fit params +
+        # the mean PSF + its fit) in one packed transfer internally
+        return process_batch(seeing[:n], GL[:n], L0[:n], mask[:n], lbda,
+                             npsflin=1, cfg=cfg, chunk=chunk)
 
     # warmup / compile at the full workload shape (covers the chunk
     # pipeline and the cross-chunk concatenation)

@@ -25,7 +25,7 @@ def timed(fn, warm=True):
 def main():
     import jax
     from muse_psfr_tpu.config import GalacsiConfig
-    from muse_psfr_tpu.parallel.batch import process_batch, pull_packed
+    from muse_psfr_tpu.parallel.batch import process_batch
     from muse_psfr_tpu.api import condition_sweep
     from bench import build_rows, measure_baseline
 
@@ -35,19 +35,19 @@ def main():
 
     # 1. single condition, 3 lambda (the CLI config)
     lb3 = np.linspace(500, 900, 3)
-    t, _ = timed(lambda: pull_packed(*process_batch(
+    t, _ = timed(lambda: (process_batch(
         [1.0], [0.7], [25.0], np.ones((1, 4)), lb3, cfg=cfg, chunk=1)))
     rows.append(("single condition, 3 lambda (CLI)", 1, t))
 
     # 2. one row, full 35-lambda cube + fit
     lb35 = np.linspace(490, 930, 35)
-    t, _ = timed(lambda: pull_packed(*process_batch(
+    t, _ = timed(lambda: (process_batch(
         [1.0], [0.7], [25.0], np.ones((1, 4)), lb35, cfg=cfg, chunk=1)))
     rows.append(("one row x 35 lambda", 1, t))
 
     # 3. full night: 100 rows x 35 lambda
     seeing, GL, L0, mask = build_rows(100)
-    t, _ = timed(lambda: pull_packed(*process_batch(
+    t, _ = timed(lambda: (process_batch(
         seeing, GL, L0, mask, lb35, cfg=cfg, chunk=25)))
     rows.append(("full night: 100 rows x 35 lambda", 100, t))
 
@@ -56,13 +56,13 @@ def main():
     # small one-time compiles (chunk-slice, fit concatenation) that a
     # steady-state figure must exclude.
     seeing1k, GL1k, L01k, mask1k = build_rows(1000)
-    t, _ = timed(lambda: pull_packed(*process_batch(
+    t, _ = timed(lambda: (process_batch(
         seeing1k, GL1k, L01k, mask1k, lb35, cfg=cfg, chunk=25)))
     rows.append(("extended: 1000 rows x 35 lambda (steady state)", 1000, t))
 
     # 4. high-resolution 2048^2 grids, one row x 35 lambda
     cfg_hi = cfg.with_(dim=2048)
-    t, _ = timed(lambda: pull_packed(*process_batch(
+    t, _ = timed(lambda: (process_batch(
         [1.0], [0.7], [25.0], np.ones((1, 4)), lb35, cfg=cfg_hi, chunk=1)))
     rows.append(("high-res 2048^2: one row x 35 lambda", 1, t))
 

@@ -133,11 +133,16 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
 
     on_chunk = None
     if checkpoint is not None:
-        done = []
+        buf = {}
 
-        def on_chunk(start, packed_np):  # noqa: F811
-            done.append(packed_np)
-            np.save(checkpoint, np.concatenate(done, axis=0))
+        def on_chunk(indices, packed_np):  # noqa: F811
+            # chunks arrive bucket-ordered, not grid-ordered: keep rows
+            # at their grid position, NaN = not yet computed
+            if "a" not in buf:
+                buf["a"] = np.full((B,) + packed_np.shape[1:], np.nan,
+                                   packed_np.dtype)
+            buf["a"][indices] = packed_np
+            np.save(checkpoint, buf["a"])
 
     with maybe_trace("condition_sweep"), stage_timer("condition_sweep"):
         fit_d, _, _ = process_batch(ss.ravel(), gg.ravel(), ll.ravel(),
@@ -262,11 +267,9 @@ def compute_psf_from_sparta(filename, extname="SPARTA_ATM_DATA", npsflin=1,
     # --- batched reconstruction + batched fit (device resident; only the
     # packed fit parameters and the mean PSF cross the device->host link) --
     from .fit.moffat_fit import unpack_fit
-    from .parallel.batch import pull_packed
     fit_d, psf_mean_d, _ = process_batch(
         seeing, GL, L0, gs_mask, lbda, h=h, npsflin=npsflin, cfg=cfg,
         chunk=chunk, mesh=mesh)
-    fit_d, psf_mean_d = pull_packed(fit_d, psf_mean_d)
     fit = unpack_fit(fit_d)
 
     tables = []

@@ -101,6 +101,21 @@ class GalacsiConfig:
                                # against the f64 oracle); requires
                                # dim % 256 == 0 and the zoom-DFT path,
                                # silently off otherwise.
+    otf_support: int = 0       # OTF support inf-radius [px]: the system
+                               # OTF exp(-Dphi/2)*dl decays below any
+                               # threshold well inside the grid (the
+                               # residual structure function saturates at
+                               # 2*sigma_res^2), so the zoom/dphi
+                               # contractions only compute the centred
+                               # block rows [c-S, c+S) x cols [c-S,
+                               # c+128) under the fold.  0 = full half
+                               # grid; the batch layer sets it per batch
+                               # from a host-side rigorous bound on the
+                               # least-damped row (see
+                               # parallel/batch.py:estimate_otf_support).
+                               # Must be a multiple of 128 (tile-aligned);
+                               # each distinct value is a separate
+                               # compilation of the pipeline.
     use_pallas: bool = True    # fused exp+zoom-DFT Pallas kernel (TPU only,
                                # float32, single-direction, dim % 256 == 0;
                                # silently falls back to the XLA zoom path
@@ -141,6 +156,24 @@ class GalacsiConfig:
                 and self.dim % 256 == 0):
             return None
         return min(self.dim, self.dim // 2 + 128)
+
+    @property
+    def otf_window(self):
+        """(row_lo, S): the computed OTF block under the symmetry fold.
+
+        Rows ``[c-S, c+S)``, columns ``[c-S, c+128)`` of the full
+        (dim, dim) OTF grid, where ``c = dim//2`` and ``S`` is
+        ``otf_support`` (full half grid when 0).  ``None`` when the fold
+        is off (full grid, no windowing).
+        """
+        if self.fold_ncols is None:
+            return None
+        c = self.dim // 2
+        S = min(self.otf_support, c) if self.otf_support else c
+        if S % 128 != 0 or S <= 0:
+            raise ValueError(f"otf_support must be a positive multiple "
+                             f"of 128, got {self.otf_support}")
+        return (c - S, S)
 
     @property
     def npup(self) -> int:

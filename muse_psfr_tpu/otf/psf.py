@@ -72,7 +72,7 @@ def pupil_otf(cfg: GalacsiConfig):
     return jnp.asarray(_PUPIL_OTF_CACHE[key])
 
 
-def _centered_idft_matrices(dim: int, dtype, cols=None):
+def _centered_idft_np(dim: int, cols=None):
     """Real/imag matrices of the shifted inverse DFT, centred in and out.
 
     For a real image-centred array X, ``fftshift(ifft2(fftshift(X))).real
@@ -93,6 +93,11 @@ def _centered_idft_matrices(dim: int, dtype, cols=None):
     sign = np.where(k % 2 == 0, 1.0, -1.0)[:, None]
     c = sign * np.cos(ang) / dim
     s = sign * np.sin(ang) / dim
+    return c, s
+
+
+def _centered_idft_matrices(dim: int, dtype, cols=None):
+    c, s = _centered_idft_np(dim, cols)
     return jnp.asarray(c, dtype), jnp.asarray(s, dtype)
 
 
@@ -102,7 +107,7 @@ def _mm(cfg: GalacsiConfig):
                    precision=jax.lax.Precision(cfg.matmul_precision))
 
 
-def _fold_weights(dim: int, ncols: int, dtype):
+def _fold_weights(dim: int, S: int, ncw: int, dtype):
     """Column weights of the point-symmetry fold (``cfg.use_sym_fold``).
 
     Every OTF-side array here is the transform of a real field (PSD,
@@ -110,15 +115,23 @@ def _fold_weights(dim: int, ncols: int, dtype):
     ``G[i, j] = G[(N-i) % N, (N-j) % N]``.  The zoom/dphi contractions'
     per-column terms are then equal in mirrored pairs ``(j, N-j)`` —
     proven from the parity of the DFT row matrices (cos rows even, sin
-    rows odd under ``g -> (N-g) % N``) — so summing columns ``0..N/2``
+    rows odd under ``g -> (N-g) % N``) — so summing columns up to N/2
     with mirror weight 2 (columns 0 and N/2 are self-paired; anything
     beyond N/2 is dead tile padding) reproduces the full sum exactly up
     to float-noise asymmetry of the inputs.
+
+    Weights for the ``ncw`` computed columns, global ``[c-S, c+128)``
+    with ``c = dim//2`` (``cfg.otf_window``): local ``[0, S)`` -> 2,
+    ``S`` (the self-paired centre) -> 1, the tile-pad tail -> 0; when
+    the window reaches the grid edge, global column 0 is the self-paired
+    Nyquist column -> 1.  Columns outside the window are dropped: under
+    ``otf_support`` they hold only |G| below the support threshold.
     """
-    v = np.zeros(ncols)
-    v[0] = 1.0
-    v[1:dim // 2] = 2.0
-    v[dim // 2] = 1.0
+    v = np.zeros(ncw)
+    v[:S] = 2.0
+    v[S] = 1.0
+    if dim // 2 - S == 0:
+        v[0] = 1.0
     return jnp.asarray(v, dtype)
 
 
@@ -138,20 +151,23 @@ def dphi_base(psd, cfg: GalacsiConfig):
     sampnum = dim / cfg.npup
     L = cfg.dpup * sampnum
     scale = dim * dim / (L * L)
-    ncols = cfg.fold_ncols
+    win = cfg.otf_window
     if cfg.use_fft:
         cdtype = jnp.dtype(cfg.cdtype)
         bg = jnp.fft.ifft2(
             jnp.fft.fftshift(psd, axes=(-2, -1)).astype(cdtype)) * scale
         d = 2.0 * (bg[..., :1, :1].real - bg.real)
         d = jnp.fft.fftshift(d, axes=(-2, -1)).astype(cfg.dtype)
-        return d if ncols is None else d[..., :ncols]
+        if win is None:
+            return d
+        r_lo, S = win
+        return d[..., r_lo:r_lo + 2 * S, r_lo:dim // 2 + 128]
 
     dtype = jnp.dtype(cfg.dtype)
     c, s = _centered_idft_matrices(dim, dtype)
     x = psd.astype(dtype)
     mm = _mm(cfg)
-    if ncols is None:
+    if win is None:
         # centred Re(bg): C X C^T - S X S^T, batched over the directions
         re_bg = mm(mm(c, x), c.T) - mm(mm(s, x), s.T)
     else:
@@ -161,15 +177,20 @@ def dphi_base(psd, cfg: GalacsiConfig):
         # real part of its inverse transform equals the transform of the
         # symmetrised PSD, so symmetrising first (elementwise, O(N^2))
         # is exact; (C X_sym) is then even / (S X_sym) odd in the column
-        # index and the contraction folds onto columns 0..N/2: ~2.5x
-        # fewer matmul FLOPs at dim=1280
+        # index and the contraction folds onto columns 0..N/2.  Output
+        # restricted to the consumed window rows/cols: >=2.5x fewer
+        # matmul FLOPs at dim=1280, more under otf_support
+        r_lo, S = win
+        r_hi, col_hi = r_lo + 2 * S, dim // 2 + 128
         nh = dim // 2 + 1
-        v = _fold_weights(dim, nh, dtype)
+        vh = np.full(nh, 2.0)
+        vh[0] = vh[-1] = 1.0
+        vh = jnp.asarray(vh, dtype)
         xs = 0.5 * (x + jnp.roll(x[..., ::-1, ::-1], (1, 1),
                                  axis=(-2, -1)))
         xh = xs[..., :nh]
-        re_bg = (mm(mm(c, xh) * v, c[:ncols, :nh].T)
-                 - mm(mm(s, xh) * v, s[:ncols, :nh].T))
+        re_bg = (mm(mm(c[r_lo:r_hi], xh) * vh, c[r_lo:col_hi, :nh].T)
+                 - mm(mm(s[r_lo:r_hi], xh) * vh, s[r_lo:col_hi, :nh].T))
     bg00 = jnp.sum(x, axis=(-2, -1))[..., None, None] / (L * L)
     return (2.0 * (bg00 - re_bg * scale)).astype(dtype)
 
@@ -223,8 +244,44 @@ def fitting_dphi_basis(cfg: GalacsiConfig):
             ts.append(np.fft.fftshift(t))
         _DPHI_BASIS_CACHE[key] = np.stack(ts).astype(cfg.dtype)
     arr = _DPHI_BASIS_CACHE[key]
-    ncols = cfg.fold_ncols
-    return jnp.asarray(arr if ncols is None else arr[..., :ncols])
+    win = cfg.otf_window
+    if win is None:
+        return jnp.asarray(arr)
+    r_lo, S = win
+    return jnp.asarray(arr[..., r_lo:r_lo + 2 * S,
+                           r_lo:cfg.dim // 2 + 128])
+
+
+_BASIS_RING_CACHE = {}
+
+
+def fitting_dphi_ring_envelopes(cfg: GalacsiConfig):
+    """Ring-wise min/max of the fitting structure-function basis (host).
+
+    For each basis transform ``T_k`` (see :func:`fitting_dphi_basis`) and
+    each inf-norm radius ``r = max(|i-c|, |j-c|)`` in ``0..dim/2``,
+    returns float64 ``(tmin, tmax)`` of shape (degree+1, dim/2+1): the
+    minimum/maximum of ``T_k`` over the ring.  Used by the host-side OTF
+    support estimator (``parallel/batch.py:estimate_otf_support``) to
+    lower-bound ``D_fit = sum_k w_k T_k`` over each ring regardless of
+    the signs of the telemetry-dependent weights.
+    """
+    key = (cfg.dim, cfg.npup, cfg.dpup, cfg.fc, cfg.dphi_split_degree,
+           cfg.dphi_split_l0_min)
+    if key not in _BASIS_RING_CACHE:
+        fitting_dphi_basis(cfg.with_(dtype="float64"))  # fill f64 cache
+        arr = _DPHI_BASIS_CACHE[key + ("float64",)]
+        c = cfg.dim // 2
+        ii = np.abs(np.arange(cfg.dim) - c)
+        ring = np.maximum(ii[:, None], ii[None, :]).ravel()
+        flat = arr.reshape(arr.shape[0], -1)
+        tmin = np.full((arr.shape[0], c + 1), np.inf)
+        tmax = np.full((arr.shape[0], c + 1), -np.inf)
+        for k in range(arr.shape[0]):
+            np.minimum.at(tmin[k], ring, flat[k])
+            np.maximum.at(tmax[k], ring, flat[k])
+        _BASIS_RING_CACHE[key] = (tmin, tmax)
+    return _BASIS_RING_CACHE[key]
 
 
 def dphi_base_split(w, delta, cfg: GalacsiConfig):
@@ -252,7 +309,8 @@ def dphi_base_split(w, delta, cfg: GalacsiConfig):
     mm = _mm(cfg)
     x = delta.astype(dtype)                              # (ndir, s, s)
     bg00 = jnp.sum(x, axis=(-2, -1))[..., None, None] / (L * L)
-    if cfg.fold_ncols is None:
+    win = cfg.otf_window
+    if win is None:
         c_blk, s_blk = _centered_idft_matrices(dim, dtype, cols=(lo, s))
         re_blk = (mm(mm(c_blk, x), c_blk.T)
                   - mm(mm(s_blk, x), s_blk.T))           # (ndir, dim, dim)
@@ -260,16 +318,17 @@ def dphi_base_split(w, delta, cfg: GalacsiConfig):
         # fold (see dphi_base): symmetrise the correction block first —
         # delta is NOT f -> -f symmetric (temporal terms), and its global
         # mirror spans [lo, lo + s], one column/row wider than the block,
-        # so pad by one before folding; then emit only the ncols columns
-        # the zoom path reads (the Re-transform of the unfolded path
-        # symmetrises implicitly, so this is exact)
-        nc = cfg.fold_ncols
+        # so pad by one before folding; then emit only the window
+        # rows/columns the zoom path reads (the Re-transform of the
+        # unfolded path symmetrises implicitly, so this is exact)
+        r_lo, S = win
+        r_hi, col_hi = r_lo + 2 * S, dim // 2 + 128
         xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1)))
         xs = 0.5 * (xp + xp[..., ::-1, ::-1])            # (ndir, s+1, s+1)
         c_blk, s_blk = _centered_idft_matrices(dim, dtype,
                                                cols=(lo, s + 1))
-        re_blk = (mm(mm(c_blk, xs), c_blk[:nc].T)
-                  - mm(mm(s_blk, xs), s_blk[:nc].T))     # (ndir, dim, nc)
+        re_blk = (mm(mm(c_blk[r_lo:r_hi], xs), c_blk[r_lo:col_hi].T)
+                  - mm(mm(s_blk[r_lo:r_hi], xs), s_blk[r_lo:col_hi].T))
     return (shared[None] + 2.0 * (bg00 - re_blk * scale)).astype(dtype)
 
 
@@ -342,7 +401,8 @@ def _psf_chunk_pallas(base, dl, lb_k, npix_k, cfg, interpret=False):
     it never exists in HBM, and the structure function is read once per
     chunk instead of once per (wavelength, direction).
 
-    ``base``: (ndir, N, N); ``lb_k``/``npix_k``: (k,) wavelengths [nm]
+    ``base``: (ndir, 2S, S+128) windowed structure function
+    (``cfg.otf_window``); ``lb_k``/``npix_k``: (k,) wavelengths [nm]
     and crop sizes.  Returns (k, dimpsf, dimpsf) normalised PSF samples.
     """
     from ..ops.zoom_dft import fused_exp_zoom
@@ -350,6 +410,12 @@ def _psf_chunk_pallas(base, dl, lb_k, npix_k, cfg, interpret=False):
     dim = cfg.dim
     ndir = base.shape[0]
     nout = cfg.dimpsf
+    win = cfg.otf_window
+    if win is not None:
+        r_lo, S = win
+        r_hi, col_hi = r_lo + 2 * S, dim // 2 + 128
+    else:                                       # unfolded: full grid
+        r_lo, r_hi, col_hi, S = 0, dim, dim, dim // 2
 
     start = (dim // 2 - npix_k // 2).astype(dtype)           # (k,)
     step = npix_k.astype(dtype) / nout
@@ -359,23 +425,23 @@ def _psf_chunk_pallas(base, dl, lb_k, npix_k, cfg, interpret=False):
     i0 = jnp.clip(i0f.astype(jnp.int32), 0, dim - 2)
     idx = jnp.concatenate([i0, i0 + 1], axis=1)              # (k, 2*nout)
     ar, ai = jax.vmap(lambda ix: _zoom_dft_matrices(ix, dim, dtype))(idx)
-    a2 = jnp.concatenate([ar, ai], axis=1)                   # (k, 4*nout, N)
+    a2 = jnp.concatenate([ar, ai], axis=1)[..., r_lo:r_hi]  # (k, 4nout, 2S)
 
     alpha = -0.5 * (2.0 * np.pi / lb_k.astype(dtype)) ** 2   # (k,)
     c = dim // 2
-    norm = jnp.exp(alpha[:, None] * base[None, :, c, c]) * dl[c, c]
+    norm = jnp.exp(alpha[:, None] * base[None, :, c - r_lo, c - r_lo]) \
+        * dl[c, c]
     w = 1.0 / (ndir * norm)                                  # (k, ndir)
 
-    u = fused_exp_zoom(base, dl, a2, alpha, w,
+    u = fused_exp_zoom(base, dl[r_lo:r_hi, r_lo:col_hi], a2, alpha, w,
                        precision=cfg.zoom_precision, interpret=interpret)
     m = 2 * nout
     mm = _mm(cfg)
-    ncols = base.shape[-1]
-    if cfg.fold_ncols is not None:
-        # half-width structure function: fold the mirror weights into the
-        # second-stage matrices (see _fold_weights)
-        v = _fold_weights(dim, ncols, dtype)
-        ar2, ai2 = ar[..., :ncols] * v, ai[..., :ncols] * v
+    if win is not None:
+        # fold the mirror weights into the second-stage matrices
+        v = _fold_weights(dim, S, base.shape[-1], dtype)
+        ar2 = ar[..., r_lo:col_hi] * v
+        ai2 = ai[..., r_lo:col_hi] * v
     else:
         ar2, ai2 = ar, ai
     p = (mm(u[:, :m], jnp.swapaxes(ar2, 1, 2))
@@ -402,14 +468,20 @@ def _psf_samples_zoom(mean_otf_centered, i0, t, nout: int, cfg):
     # never 'default' precision here: TPU f32 matmul defaults to one
     # bfloat16 pass, which costs ~1e-5 absolute on the PSF — the budget
     mm = _mm(cfg)
-    ncols = g.shape[-1]
-    u_r = mm(ar, g)                                     # (2*nout, ncols)
-    u_i = mm(ai, g)
-    if cfg.fold_ncols is not None:
-        # half-width OTF: mirrored column pairs contribute equally
-        v = _fold_weights(dim, ncols, dtype)
-        p = mm(u_r * v, ar[:, :ncols].T) - mm(u_i * v, ai[:, :ncols].T)
+    win = cfg.otf_window
+    if win is not None:
+        # windowed OTF (rows [r_lo, r_lo+2S), cols [r_lo, c+128)):
+        # mirrored column pairs contribute equally (weight 2)
+        r_lo, S = win
+        r_hi, col_hi = r_lo + 2 * S, dim // 2 + 128
+        u_r = mm(ar[:, r_lo:r_hi], g)                   # (2*nout, ncw)
+        u_i = mm(ai[:, r_lo:r_hi], g)
+        v = _fold_weights(dim, S, g.shape[-1], dtype)
+        p = (mm(u_r * v, ar[:, r_lo:col_hi].T)
+             - mm(u_i * v, ai[:, r_lo:col_hi].T))
     else:
+        u_r = mm(ar, g)                                 # (2*nout, N)
+        u_i = mm(ai, g)
         p = mm(u_r, ar.T) - mm(u_i, ai.T)               # (2*nout, 2*nout)
     return _combine_bilinear(jnp.maximum(p, 0.0), t, nout)
 
@@ -508,12 +580,13 @@ def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig):
     dl = pupil_otf(cfg)                             # (dim, dim)
     npixc = lambda_crop_size(lbda_nm.astype(dtype), cfg)  # (nl,) int32
 
-    ncols = dim if cfg.fold_ncols is None else cfg.fold_ncols
-    if base.shape[-1] != ncols:
+    win = cfg.otf_window
+    expect = (dim, dim) if win is None else (2 * win[1], win[1] + 128)
+    if base.shape[-2:] != expect:
         raise ValueError(
-            f"structure-function width {base.shape[-1]} does not match the "
-            f"config's fold layout ({ncols}); produce `base` with "
-            "dphi_base/dphi_base_split under the same config")
+            f"structure-function block {base.shape[-2:]} does not match "
+            f"the config's fold/support window {expect}; produce `base` "
+            "with dphi_base/dphi_base_split under the same config")
     ndir = base.shape[0]
     if not cfg.use_fft and not cfg.use_zoom_dft:
         raise ValueError("the FFT-free mode (use_fft=False) requires the "
@@ -533,8 +606,15 @@ def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig):
         i0 = jnp.clip(i0f.astype(jnp.int32), 0, dim - 2)
 
         ao = jnp.exp(-0.5 * convnm2 * base)
-        prod = ao * dl[None, :, :base.shape[-1]]    # (ndir, dim, ncols)
-        norm = prod[:, dim // 2, dim // 2]          # per-direction DC
+        if win is not None:
+            r_lo = win[0]
+            dlw = dl[r_lo:r_lo + base.shape[-2],
+                     r_lo:r_lo + base.shape[-1]]
+            cc = dim // 2 - r_lo                    # local centre index
+        else:
+            dlw, cc = dl, dim // 2
+        prod = ao * dlw[None]                       # (ndir, rows, cols)
+        norm = prod[:, cc, cc]                      # per-direction DC
         mean_otf = jnp.mean(prod / norm[:, None, None], axis=0)
         if cfg.use_zoom_dft:
             out = _psf_samples_zoom(mean_otf, i0, t, cfg.dimpsf, cfg)

@@ -22,12 +22,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import GalacsiConfig
 from ..psd.model import simulate_psd, simulate_psd_split
-from ..otf.psf import psf_cube, psf_cube_from_base, dphi_base_split
+from ..otf.psf import (psf_cube, psf_cube_from_base, dphi_base,
+                       dphi_base_split)
 from ..otf.convolve import convolve_final
+from ..utils.log import get_logger
+
+logger = get_logger("batch")
+
+
+def _window_guard(base, lbda, cfg: GalacsiConfig):
+    """Margin of the OTF-support window, from the windowed structure
+    function: ``0.5 * convnm_max^2 * min(D on the window boundary) -
+    ln(1e9)``.  Nonnegative means every dropped OTF value is below 1e-9
+    of the DC (D grows outward), i.e. the window was large enough;
+    callers recompute with the full window otherwise.  +inf when no
+    support reduction is active.
+    """
+    win = cfg.otf_window
+    if win is None or win[1] >= cfg.dim // 2:
+        # full (half-)window: the fold drops nothing, nothing to guard
+        return jnp.asarray(np.inf, cfg.dtype)
+    d_edge = jnp.minimum(
+        jnp.minimum(jnp.min(base[:, 0, :]), jnp.min(base[:, -1, :])),
+        jnp.min(base[:, :, 0]))
+    convnm2 = (2.0 * np.pi / jnp.max(lbda)) ** 2
+    return 0.5 * convnm2 * d_edge - float(np.log(1e9))
 
 
 def reconstruct_one(seeing, GL, L0, gs_mask, lbda, h, wind_speed,
-                    npsflin: int, cfg: GalacsiConfig):
+                    npsflin: int, cfg: GalacsiConfig, return_guard=False):
     """Single work item: telemetry -> final PSF cube (nl, dimpsf, dimpsf).
 
     With ``cfg.use_dphi_split`` the full-grid PSD is never materialised:
@@ -35,37 +58,89 @@ def reconstruct_one(seeing, GL, L0, gs_mask, lbda, h, wind_speed,
     per-config constants and only the correction-zone block is
     transformed (valid for L0 >= cfg.dphi_split_l0_min — the batch entry
     points check this on the host and fall back to the exact path).
+
+    With ``return_guard`` also returns the scalar window-guard margin
+    (see :func:`_window_guard`).
     """
     if cfg.use_dphi_split:
         w, delta = simulate_psd_split(seeing, GL, L0, gs_mask, h,
                                       wind_speed, npsflin, cfg)
-        psf = psf_cube_from_base(dphi_base_split(w, delta, cfg), lbda, cfg)
+        base = dphi_base_split(w, delta, cfg)
     else:
         psd = simulate_psd(seeing, GL, L0, gs_mask, h, wind_speed, npsflin,
                            cfg)
-        psf = psf_cube(psd, lbda, cfg)
-    return convolve_final(psf, lbda, seeing, GL, L0, cfg)
+        base = dphi_base(psd.astype(cfg.dtype), cfg)
+    psf = psf_cube_from_base(base, lbda, cfg)
+    out = convolve_final(psf, lbda, seeing, GL, L0, cfg)
+    if return_guard:
+        return out, _window_guard(base, lbda, cfg)
+    return out
 
 
 @partial(jax.jit, static_argnames=("h", "wind_speed", "npsflin", "cfg"))
 def _reconstruct_vmapped(seeing, GL, L0, gs_mask, lbda, h, wind_speed,
                          npsflin, cfg):
-    return jax.vmap(
+    psf, guard = jax.vmap(
         lambda s, g, l, m: reconstruct_one(s, g, l, m, lbda, h, wind_speed,
-                                           npsflin, cfg)
+                                           npsflin, cfg, return_guard=True)
     )(seeing, GL, L0, gs_mask)
+    return psf, jnp.min(guard)
 
 
 @partial(jax.jit, static_argnames=("h", "wind_speed", "npsflin", "cfg"))
 def _reconstruct_chunk(t, lbda, h, wind_speed, npsflin, cfg):
     """One (chunk, 7) telemetry slice laid out [seeing, GL, L0, gs_mask(4)]
-    -> PSF cubes.  The slice shape is the compilation key: callers must
-    slice the device-resident table *outside* (with a traced offset, so
-    the total batch size never enters any compiled program)."""
-    return jax.vmap(
+    -> (PSF cubes, window-guard margin).  The slice shape is the
+    compilation key: callers must slice the device-resident table
+    *outside* (with a traced offset, so the total batch size never
+    enters any compiled program)."""
+    psf, guard = jax.vmap(
         lambda row: reconstruct_one(row[0], row[1], row[2], row[3:7],
-                                    lbda, h, wind_speed, npsflin, cfg)
+                                    lbda, h, wind_speed, npsflin, cfg,
+                                    return_guard=True)
     )(t)
+    return psf, jnp.min(guard)
+
+
+@partial(jax.jit, static_argnames=("h", "wind_speed", "npsflin", "cfg",
+                                   "fit_dtype"))
+def _fit_chunk(t, n_valid, lbda, h, wind_speed, npsflin, cfg, fit_dtype):
+    """Fused chunk step for fit-oriented batches: reconstruction + packed
+    Moffat fit + pad-masked PSF sum + window guard in ONE dispatch.
+
+    On a tunneled device every host-side dispatch costs ~1 ms of command
+    latency; with the OTF-support window the whole 25-row chunk computes
+    in ~4 ms, so the per-chunk op count (not the FLOPs) set the steady
+    state — hence one fused jitted call per chunk and no eager
+    reductions in the loop (process_batch defers those to one stacked op
+    at the end).
+    """
+    from ..fit.moffat_fit import fit_moffat_cube_packed
+    psf, guard = jax.vmap(
+        lambda row: reconstruct_one(row[0], row[1], row[2], row[3:7],
+                                    lbda, h, wind_speed, npsflin, cfg,
+                                    return_guard=True)
+    )(t)
+    fit = fit_moffat_cube_packed(psf, dtype=fit_dtype)
+    w = (jnp.arange(t.shape[0]) < n_valid).astype(psf.dtype)
+    psum = jnp.tensordot(w, psf, axes=1)
+    return fit, psum, jnp.min(guard)
+
+
+@partial(jax.jit, static_argnames=("h", "wind_speed", "npsflin", "cfg",
+                                   "fit_dtype"))
+def _fit_vmapped(seeing, GL, L0, gs_mask, n_valid, lbda, h, wind_speed,
+                 npsflin, cfg, fit_dtype):
+    """Mesh-sharded variant of :func:`_fit_chunk`."""
+    from ..fit.moffat_fit import fit_moffat_cube_packed
+    psf, guard = jax.vmap(
+        lambda s, g, l, m: reconstruct_one(s, g, l, m, lbda, h, wind_speed,
+                                           npsflin, cfg, return_guard=True)
+    )(seeing, GL, L0, gs_mask)
+    fit = fit_moffat_cube_packed(psf, dtype=fit_dtype)
+    w = (jnp.arange(seeing.shape[0]) < n_valid).astype(psf.dtype)
+    psum = jnp.tensordot(w, psf, axes=1)
+    return fit, psum, jnp.min(guard)
 
 
 from .mesh import default_mesh  # noqa: E402  (re-exported here for API)
@@ -118,16 +193,175 @@ def resolve_fft_mode(cfg: GalacsiConfig) -> GalacsiConfig:
     return cfg
 
 
-def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
-                npsflin: int = 1, cfg: GalacsiConfig = None,
-                chunk: int = 8, mesh: Mesh = None):
-    """Yield (n_valid, psf_chunk device array) over padded chunks.
+_SPLIT_CPU_CACHE = {}
 
-    ``chunk`` bounds the per-step working set (each item holds an
-    (ndir, dim, dim) PSD cube on device).  With ``mesh``, each chunk's
-    batch axis is sharded across the mesh's devices; ``chunk`` is rounded
-    up to a multiple of the mesh size and the batch padded accordingly.
-    All chunks are dispatched with identical shapes (one compilation).
+
+def _split_on_cpu(seeing, GL, L0, gs_mask, h, wind_speed, npsflin, cfg):
+    """(w, delta) of the split PSD for every row, computed on the host
+    CPU backend (the zone block is dim-independent and tiny: ~13 ms per
+    100 rows)."""
+    from ..psd.model import simulate_psd_split
+    h_t = tuple(float(x) for x in np.asarray(h, np.float64).ravel())
+    key = (h_t, float(wind_speed), npsflin, cfg)
+    if key not in _SPLIT_CPU_CACHE:
+        _SPLIT_CPU_CACHE[key] = jax.jit(jax.vmap(
+            lambda s, g, l, m: simulate_psd_split(
+                s, g, l, m, h_t, float(wind_speed), npsflin, cfg)))
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        w, delta = _SPLIT_CPU_CACHE[key](
+            jnp.asarray(seeing), jnp.asarray(GL), jnp.asarray(L0),
+            jnp.asarray(gs_mask))
+    return np.asarray(w, np.float64), np.asarray(delta, np.float64)
+
+
+def default_support_bucket(cfg: GalacsiConfig) -> int:
+    """The one reduced OTF-support bucket used by the batch layer.
+
+    Roughly dim/4, 128-aligned (dim=1280 -> 256, dim=2048 -> 512).  A
+    single fixed bucket keeps the number of compiled pipeline variants
+    at two (reduced + full) and is deterministic: any sub-batch of a
+    night reuses the same executables.
+    """
+    return max(128, (cfg.dim // 4) // 128 * 128)
+
+
+_WINDOWABLE_MEMO = {}
+
+
+def rows_windowable(seeing, GL, L0, gs_mask, lbda_max_nm, cfg, S,
+                    h=(100, 10000), wind_speed=None, npsflin=1,
+                    thresh: float = 1e-12):
+    """Per-row host-side test: is ``otf_support=S`` safe for each row?
+
+    The normalised system OTF is ``exp(-0.5 convnm^2 D) * dl/dl_max``
+    with ``D = D_fit + D_corr`` the wavelength-free structure function;
+    both parts are evaluated on the host: ``D_fit = sum_k w_k T_k`` from
+    the precomputed basis (lower-bounded per inf-norm ring by sign-aware
+    min/max envelopes — exact), and ``D_corr`` from the correction-zone
+    block ``delta``, whose tiny dim-independent model runs for every row
+    on the CPU backend (~13 ms / 100 rows).  ``D`` is sampled along the
+    8 inf-norm-ring extreme rays (axes + diagonals) at 32-px radius
+    steps from ``S-1`` outward; a row is windowable when the sampled
+    damping stays below ``thresh`` everywhere beyond the window.
+
+    The ray/step sampling is backstopped at run time: the pipeline
+    returns the minimum structure-function value on the window boundary
+    (window guard) and the batch layer recomputes with the full window
+    if the implied |G| exceeds 1e-9 (three decades of margin to
+    ``thresh``).
+
+    Rows outside the certified split range (L0 < cfg.dphi_split_l0_min)
+    or with non-finite telemetry report not-windowable.  Zenith is
+    ignored (cos^0.6 <= 1 only increases turbulence, i.e. damping).
+    Results are memoised on the telemetry content.
+    """
+    from ..core.vonkarman import fitting_expansion_spec, CST_VK_EXACT
+    from ..otf.psf import fitting_dphi_ring_envelopes, _centered_idft_np
+    from ..psd.model import effective_wind_speed
+    seeing = np.atleast_1d(np.asarray(seeing, np.float64))
+    GL = np.atleast_1d(np.asarray(GL, np.float64))
+    L0 = np.atleast_1d(np.asarray(L0, np.float64))
+    gs_mask = np.atleast_2d(np.asarray(gs_mask, np.float64))
+    out = np.zeros(seeing.shape[0], bool)
+    if cfg.otf_window is None or S >= cfg.dim // 2 or S % 128 != 0:
+        return out
+    if wind_speed is None:
+        wind_speed = effective_wind_speed(h, cfg)
+    h_t = tuple(float(x) for x in np.asarray(h, np.float64).ravel())
+    key = (seeing.tobytes(), GL.tobytes(), L0.tobytes(), gs_mask.tobytes(),
+           float(lbda_max_nm), S, h_t, float(wind_speed), npsflin, cfg,
+           thresh)
+    if key in _WINDOWABLE_MEMO:
+        return _WINDOWABLE_MEMO[key]
+    ok = (np.isfinite(seeing) & (seeing > 0) & np.isfinite(L0)
+          & (L0 >= cfg.dphi_split_l0_min) & np.isfinite(GL)
+          & np.all(np.isfinite(gs_mask), axis=1))
+    if not ok.any():
+        return out
+    idx = np.nonzero(ok)[0]
+    see_v, gl_v, l0_v, m_v = seeing[idx], GL[idx], L0[idx], gs_mask[idx]
+    dim = cfg.dim
+    c = dim // 2
+
+    # fit part: per-row ring lower bound of sum_k w_k T_k (exact)
+    tmin, tmax = fitting_dphi_ring_envelopes(cfg)        # (K+1, c+1)
+    u0, binoms = fitting_expansion_spec(cfg.dphi_split_l0_min,
+                                        cfg.dphi_split_degree)
+    r0 = 0.976 * 0.5 / see_v / 4.85 * (2.0 * cfg.lambda_ref) ** 1.2
+    nm2 = (cfg.lambda_ref * 1000.0 / (2 * np.pi)) ** 2
+    du = 1.0 / (l0_v * l0_v) - u0
+    w = (nm2 * CST_VK_EXACT * r0[:, None] ** (-5.0 / 3.0) * binoms[None]
+         * du[:, None] ** np.arange(len(binoms))[None])  # (R, K+1)
+    d_fit = (np.where(w[:, :, None] >= 0, w[:, :, None] * tmin[None],
+                      w[:, :, None] * tmax[None])).sum(axis=1)  # (R, c+1)
+
+    # correction part: exact zone model, sampled on the 8 ring-extreme
+    # rays at 32-px steps from the window boundary outward
+    _, delta = _split_on_cpu(see_v, gl_v, l0_v, m_v, h_t,
+                             float(wind_speed), npsflin, cfg)
+    L = cfg.dpup * (dim / cfg.npup)
+    scale = dim * dim / (L * L)
+    bg00 = delta.sum(axis=(-2, -1)) / (L * L)            # (R, ndir)
+    lo = c - cfg.dim_pup
+    s = delta.shape[-1]
+    cb, sb = _centered_idft_np(dim, cols=(lo, s))        # (dim, s) f64
+    radii = np.arange(S - 1, c, 32)
+    if radii[-1] != c - 1:
+        radii = np.append(radii, c - 1)
+    # evaluation points (dy, dx) covering the 8 rays at each radius
+    pts = []
+    for r in radii:
+        r = int(r)
+        pts += [(r, 0), (-r, 0), (0, r), (0, -r),
+                (r, r), (-r, -r), (r, -r), (-r, r)]
+    rows_p = np.array([c + dy for dy, _ in pts])
+    cols_q = np.array([c + dx for _, dx in pts])
+    uq, qinv = np.unique(cols_q, return_inverse=True)
+    yc = np.einsum("rdst,qt->rdsq", delta, cb[uq])       # (R,ndir,s,nq)
+    ys = np.einsum("rdst,qt->rdsq", delta, sb[uq])
+    re = (np.einsum("ps,rdsp->rdp", cb[rows_p],
+                    yc[..., qinv])
+          - np.einsum("ps,rdsp->rdp", sb[rows_p], ys[..., qinv]))
+    d_corr = 2.0 * (bg00[..., None] - re * scale)        # (R, ndir, npts)
+    r_of_pt = np.repeat(radii, 8)
+    d_tot = d_fit[:, r_of_pt][:, None, :] + d_corr       # (R, ndir, npts)
+
+    convnm2 = (2.0 * np.pi / float(lbda_max_nm)) ** 2
+    need = -np.log(thresh)
+    ok_rows = np.all(0.5 * convnm2 * d_tot >= need, axis=(1, 2))
+    out[idx] = ok_rows
+    if len(_WINDOWABLE_MEMO) > 64:
+        _WINDOWABLE_MEMO.clear()
+    _WINDOWABLE_MEMO[key] = out
+    return out
+
+
+def estimate_otf_support(seeing, GL, L0, gs_mask, lbda_max_nm, cfg,
+                         h=(100, 10000), wind_speed=None, npsflin=1,
+                         thresh: float = 1e-12) -> int:
+    """Smallest 128-aligned ``otf_support`` safe for EVERY given row
+    (see :func:`rows_windowable`), or 0 when only the full window is.
+    The batch layer instead buckets rows individually
+    (:func:`default_support_bucket`); this scalar form is for pinning
+    one window explicitly (benchmarks, single conditions, tests).
+    """
+    cfg_probe = cfg if cfg.otf_support == 0 else cfg.with_(otf_support=0)
+    for S in range(128, cfg.dim // 2, 128):
+        if rows_windowable(seeing, GL, L0, gs_mask, lbda_max_nm,
+                           cfg_probe, S, h, wind_speed, npsflin,
+                           thresh).all():
+            return S
+    return 0
+
+
+def _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg, chunk,
+                mesh):
+    """Shared batch planning: validate, resolve the config against the
+    backend, bucket rows by OTF support, and build the telemetry table.
+
+    Returns ``(cfg, groups, chunk, table, lbda_j, h_t, wind_speed,
+    sharding)`` with ``groups`` a list of ``(group_cfg, row_indices)``.
     """
     from ..psd.model import effective_wind_speed
     cfg = resolve_fft_mode(cfg or GalacsiConfig())
@@ -154,8 +388,26 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     # L0 >= dphi_split_l0_min; outlier rows get the exact full transform
     if cfg.use_dphi_split and np.any(L0 < cfg.dphi_split_l0_min):
         cfg = cfg.with_(use_dphi_split=False)
+
     gs_mask = np.atleast_2d(np.asarray(gs_mask, dtype=np.float64))
     B = seeing.shape[0]
+
+    # telemetry-aware OTF-support buckets: rows whose OTF provably fits
+    # the reduced window run the cheap variant, the rest the full one;
+    # the in-pipeline window guard backstops the host-side bound
+    groups = [(cfg, np.arange(B))]
+    if cfg.otf_support == 0 and cfg.otf_window is not None:
+        bq = default_support_bucket(cfg)
+        if bq < cfg.dim // 2:
+            okw = rows_windowable(seeing, GL, L0, gs_mask,
+                                  float(lb_np.max()), cfg, bq, h=h_t,
+                                  wind_speed=wind_speed, npsflin=npsflin)
+            cfg_w = cfg.with_(otf_support=bq)
+            if okw.all():
+                groups = [(cfg_w, np.arange(B))]
+            elif okw.any():
+                groups = [(cfg_w, np.nonzero(okw)[0]),
+                          (cfg, np.nonzero(~okw)[0])]
 
     n_dev = 1 if mesh is None else mesh.size
     chunk = max(min(chunk, B), n_dev)
@@ -165,49 +417,82 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     if mesh is not None:
         sharding = NamedSharding(mesh, P("rows"))
 
-    # ONE host->device push of the whole telemetry table (the tunneled
-    # link is latency-bound, so per-chunk per-column pushes dominated the
-    # steady state); chunks are sliced out on device inside the jitted
-    # step.  Pad the batch so every chunk dispatch has the same shape
-    # (one compilation); padding repeats the last row (pad results are
-    # discarded via the yielded count).
-    n_pad = (-B) % chunk
     table = np.concatenate(
         [seeing[:, None], GL[:, None], L0[:, None], gs_mask], axis=1)
-    if n_pad:
-        table = np.concatenate(
-            [table, np.repeat(table[-1:], n_pad, axis=0)], axis=0)
+    return cfg, groups, chunk, table, lbda, h_t, wind_speed, sharding
 
-    if sharding is None:
-        table_d = jnp.asarray(table, cfg.dtype)
-        for lo in range(0, B, chunk):
-            # eager dynamic slice: traced offset + static size, so it
-            # compiles once for any batch size and any chunk position —
-            # the full table shape never reaches the pipeline executable
-            t = jax.lax.dynamic_slice_in_dim(
-                table_d, jnp.asarray(lo, jnp.int32), chunk, axis=0)
-            res = _reconstruct_chunk(t, lbda, h_t, wind_speed, npsflin,
-                                     cfg)
-            yield min(chunk, B - lo), res
-        return
 
-    # mesh path: ONE host->device push of the whole padded table (the
-    # tunneled/DCN link is latency-bound, so per-chunk pushes dominated:
-    # n_chunks transfers vs one for the same bytes), laid out
-    # (n_chunks, chunk, 7) with the *chunk* axis sharded across the mesh.
-    # Each chunk is then a static slice along the unsharded leading axis
-    # — device-local, no cross-device gather (a traced-offset slice of a
-    # row-sharded axis would make XLA conservatively all-gather).
-    n_chunks = table.shape[0] // chunk
-    table_d = jax.device_put(
-        jnp.asarray(table.reshape(n_chunks, chunk, table.shape[1]),
-                    cfg.dtype),
-        NamedSharding(mesh, P(None, "rows")))
-    for i in range(n_chunks):
-        t = jax.device_put(table_d[i], sharding)  # no-op reshard guard
-        res = _reconstruct_vmapped(t[:, 0], t[:, 1], t[:, 2], t[:, 3:7],
-                                   lbda, h_t, wind_speed, npsflin, cfg)
-        yield min(chunk, B - i * chunk), res
+def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
+                npsflin: int = 1, cfg: GalacsiConfig = None,
+                chunk: int = 8, mesh: Mesh = None):
+    """Yield (row_indices, psf_chunk, window_guard) over padded chunks;
+    the arrays stay on device.  ``row_indices`` maps the chunk's first
+    ``len(row_indices)`` results back to input rows — rows are bucketed
+    by OTF support (:func:`_plan_batch`), so chunks do NOT arrive in
+    input order.  A negative ``window_guard`` means the OTF-support
+    window was too small for some row of the chunk (see
+    :func:`_window_guard`) and the caller must recompute those rows with
+    the full window (``cfg.with_(otf_support=cfg.dim // 2)``).
+
+    ``chunk`` bounds the per-step working set (each item holds an
+    (ndir, dim, dim) PSD cube on device).  With ``mesh``, each chunk's
+    batch axis is sharded across the mesh's devices; ``chunk`` is rounded
+    up to a multiple of the mesh size and each bucket padded accordingly.
+    All chunks are dispatched with identical shapes (one compilation per
+    bucket).
+    """
+    cfg, groups, chunk, table, lbda, h_t, wind_speed, sharding = \
+        _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
+                    chunk, mesh)
+    mesh = None if sharding is None else sharding.mesh
+
+    for gcfg, gidx in groups:
+        # ONE host->device push per bucket of its telemetry rows (the
+        # tunneled link is latency-bound, so per-chunk per-column pushes
+        # dominated the steady state); chunks are sliced out on device
+        # inside the jitted step.  Pad each bucket so every chunk
+        # dispatch has the same shape (one compilation per bucket);
+        # padding repeats the last row (pad results are discarded via
+        # the yielded index count).
+        gb = gidx.shape[0]
+        gt = table[gidx]
+        n_pad = (-gb) % chunk
+        if n_pad:
+            gt = np.concatenate([gt, np.repeat(gt[-1:], n_pad, axis=0)],
+                                axis=0)
+
+        if sharding is None:
+            table_d = jnp.asarray(gt, gcfg.dtype)
+            for lo in range(0, gb, chunk):
+                # eager dynamic slice: traced offset + static size, so
+                # it compiles once for any batch size and any chunk
+                # position — the full table shape never reaches the
+                # pipeline executable
+                t = jax.lax.dynamic_slice_in_dim(
+                    table_d, jnp.asarray(lo, jnp.int32), chunk, axis=0)
+                res, guard = _reconstruct_chunk(t, lbda, h_t, wind_speed,
+                                                npsflin, gcfg)
+                yield gidx[lo:lo + chunk], res, guard
+            continue
+
+        # mesh path: ONE host->device push of the padded bucket table
+        # (per-chunk pushes dominated: n_chunks transfers vs one for the
+        # same bytes), laid out (n_chunks, chunk, 7) with the *chunk*
+        # axis sharded across the mesh.  Each chunk is then a static
+        # slice along the unsharded leading axis — device-local, no
+        # cross-device gather (a traced-offset slice of a row-sharded
+        # axis would make XLA conservatively all-gather).
+        n_chunks = gt.shape[0] // chunk
+        table_d = jax.device_put(
+            jnp.asarray(gt.reshape(n_chunks, chunk, gt.shape[1]),
+                        gcfg.dtype),
+            NamedSharding(mesh, P(None, "rows")))
+        for i in range(n_chunks):
+            t = jax.device_put(table_d[i], sharding)  # no-op reshard
+            res, guard = _reconstruct_vmapped(t[:, 0], t[:, 1], t[:, 2],
+                                              t[:, 3:7], lbda, h_t,
+                                              wind_speed, npsflin, gcfg)
+            yield gidx[i * chunk:(i + 1) * chunk], res, guard
 
 
 def reconstruct_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
@@ -220,10 +505,32 @@ def reconstruct_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     pulls every PSF to the host; for fit-oriented workflows prefer
     :func:`process_batch`, which keeps the cubes on device.
     """
-    outs = [np.asarray(res)[:n] for n, res in
-            _run_chunks(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
-                        chunk, mesh)]
-    return np.concatenate(outs, axis=0)
+    seeing = np.atleast_1d(np.asarray(seeing, np.float64))
+    GL = np.atleast_1d(np.asarray(GL, np.float64))
+    L0 = np.atleast_1d(np.asarray(L0, np.float64))
+    gs_mask = np.atleast_2d(np.asarray(gs_mask, np.float64))
+    out = None
+    for idx, res, guard in _run_chunks(seeing, GL, L0, gs_mask, lbda, h,
+                                       npsflin, cfg, chunk, mesh):
+        psf_np, guard_np = pull_packed(res, guard)
+        if out is None:
+            out = np.empty((seeing.shape[0],) + psf_np.shape[1:],
+                           psf_np.dtype)
+        if float(guard_np) < 0.0:
+            # the auto OTF-support window was too small for this chunk's
+            # telemetry: recompute these rows with the full window
+            base_cfg = cfg or GalacsiConfig()
+            logger.warning(
+                "OTF-support window guard tripped (margin %.2f); "
+                "recomputing %d rows with the full window",
+                float(guard_np), len(idx))
+            out[idx] = reconstruct_batch(
+                seeing[idx], GL[idx], L0[idx], gs_mask[idx], lbda, h,
+                npsflin, base_cfg.with_(otf_support=base_cfg.dim // 2),
+                chunk, mesh)
+        else:
+            out[idx] = psf_np[:len(idx)]
+    return out
 
 
 def pull_packed(*arrays):
@@ -253,36 +560,101 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                   fit_dtype: str = None, on_chunk=None):
     """Full device-resident batch: reconstruct, Moffat-fit, and average.
 
-    Returns ``(fit_packed, psf_mean, fit_mean_packed)`` — device arrays:
+    Returns ``(fit_packed, psf_mean, fit_mean_packed)`` — numpy arrays:
     per-item per-wavelength packed Moffat parameters (B, nl, N_PACKED)
     (see :data:`muse_psfr_tpu.fit.moffat_fit.PACKED_FIELDS`), the
     (nl, dimpsf, dimpsf) mean PSF cube, and its packed fit.  Only these
-    small arrays ever cross the device->host link (which is slow on
-    tunneled TPUs); the (B, nl, dimpsf, dimpsf) PSF cubes never leave the
-    device.  Unpack with :func:`muse_psfr_tpu.fit.moffat_fit.unpack_fit`.
+    small arrays ever cross the device->host link, in ONE packed
+    transfer together with the window guard (the link is latency-bound
+    on tunneled TPUs, ~37 ms per pull); the (B, nl, dimpsf, dimpsf) PSF
+    cubes never leave the device.  Unpack with
+    :func:`muse_psfr_tpu.fit.moffat_fit.unpack_fit`.
 
-    ``on_chunk(start_index, packed_numpy)`` is an optional incremental
-    sink called after each chunk completes (the reference has nothing
-    comparable; use it to checkpoint long sweeps — it pulls each chunk's
-    packed fits to the host, which costs one small transfer per chunk).
+    ``on_chunk(row_indices, packed_numpy)`` is an optional incremental
+    sink called after each chunk completes, with the input-row indices
+    the chunk covers — chunks do NOT arrive in input order (rows are
+    bucketed by OTF support).  The reference has nothing comparable; use
+    it to checkpoint long sweeps — it pulls each chunk's packed fits to
+    the host, which costs one small transfer per chunk.
     """
     from ..fit.moffat_fit import fit_moffat_cube_packed
     cfg = cfg or GalacsiConfig()
     fit_dtype = fit_dtype or cfg.fit_dtype
 
-    fits = []
-    total = None
+    cfg_r, groups, chunk_n, table, lbda_j, h_t, wind_speed, sharding = \
+        _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
+                    chunk, mesh)
+
+    fits, idxs, psums, guards = [], [], [], []
     count = 0
-    for n, psf in _run_chunks(seeing, GL, L0, gs_mask, lbda, h, npsflin,
-                              cfg, chunk, mesh):
-        fits.append(fit_moffat_cube_packed(psf, dtype=fit_dtype)[:n])
-        s = jnp.sum(psf[:n], axis=0)
-        total = s if total is None else total + s
-        if on_chunk is not None:
-            on_chunk(count, np.asarray(fits[-1]))
-        count += n
+    for gcfg, gidx in groups:
+        gb = gidx.shape[0]
+        gt = table[gidx]
+        n_pad = (-gb) % chunk_n
+        if n_pad:
+            gt = np.concatenate([gt, np.repeat(gt[-1:], n_pad, axis=0)],
+                                axis=0)
+        n_chunks = gt.shape[0] // chunk_n
+        # everything the per-chunk loop needs lives on device up front —
+        # the loop then issues only async device ops (no H2D transfers,
+        # no eager reductions): offset/valid-count scalars are sliced
+        # from one pushed array, and the fused _fit_chunk is the single
+        # real dispatch per chunk
+        nval = np.minimum(chunk_n, gb - chunk_n * np.arange(n_chunks))
+        meta_d = jnp.asarray(
+            np.stack([chunk_n * np.arange(n_chunks), nval]), jnp.int32)
+        if sharding is None:
+            table_d = jnp.asarray(gt, gcfg.dtype)
+            for i in range(n_chunks):
+                t = jax.lax.dynamic_slice_in_dim(
+                    table_d, meta_d[0, i], chunk_n, axis=0)
+                fit, psum, guard = _fit_chunk(
+                    t, meta_d[1, i], lbda_j, h_t, wind_speed, npsflin,
+                    gcfg, fit_dtype)
+                n = int(nval[i])
+                fits.append(fit[:n])
+                idxs.append(gidx[i * chunk_n:i * chunk_n + n])
+                psums.append(psum)
+                guards.append(guard)
+                if on_chunk is not None:
+                    on_chunk(idxs[-1], np.asarray(fits[-1]))
+                count += n
+        else:
+            table_d = jax.device_put(
+                jnp.asarray(gt.reshape(n_chunks, chunk_n, gt.shape[1]),
+                            gcfg.dtype),
+                NamedSharding(sharding.mesh, P(None, "rows")))
+            for i in range(n_chunks):
+                t = jax.device_put(table_d[i], sharding)
+                fit, psum, guard = _fit_vmapped(
+                    t[:, 0], t[:, 1], t[:, 2], t[:, 3:7], meta_d[1, i],
+                    lbda_j, h_t, wind_speed, npsflin, gcfg, fit_dtype)
+                n = int(nval[i])
+                fits.append(fit[:n])
+                idxs.append(gidx[i * chunk_n:i * chunk_n + n])
+                psums.append(psum)
+                guards.append(guard)
+                if on_chunk is not None:
+                    on_chunk(idxs[-1], np.asarray(fits[-1]))
+                count += n
 
     fit = jnp.concatenate(fits, axis=0) if len(fits) > 1 else fits[0]
-    psf_mean = total / count
+    # the bucketed dispatch reorders rows: restore input order with one
+    # device-side gather
+    order = np.concatenate(idxs)
+    if not np.array_equal(order, np.arange(count)):
+        fit = fit[jnp.asarray(np.argsort(order))]
+    psf_mean = jnp.sum(jnp.stack(psums), axis=0) / count
     fit_mean = fit_moffat_cube_packed(psf_mean, dtype=fit_dtype)
+    guard_min = jnp.min(jnp.stack(guards))
+    fit, psf_mean, fit_mean, guard_np = pull_packed(fit, psf_mean,
+                                                    fit_mean, guard_min)
+    # window-guard check, piggybacked on the single result pull
+    if float(guard_np) < 0.0:
+        logger.warning(
+            "OTF-support window guard tripped (margin %.2f); recomputing "
+            "the batch with the full window", float(guard_np))
+        return process_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin,
+                             cfg.with_(otf_support=cfg.dim // 2), chunk,
+                             mesh, fit_dtype, on_chunk)
     return fit, psf_mean, fit_mean

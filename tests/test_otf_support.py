@@ -1,0 +1,111 @@
+"""Telemetry-aware OTF support window (config ``otf_support``).
+
+The system OTF ``exp(-Dphi/2) * dl`` decays below any threshold well
+inside the grid; ``parallel/batch.py:estimate_otf_support`` bounds the
+support inf-radius on the host (rigorously: the residual PSD dominates
+the fitting PSD pointwise and the structure-function transform is
+monotone in the PSD) and the zoom/dphi contractions compute only the
+centred block.  These tests pin (a) the bound against the measured
+float64 support, (b) end-to-end parity of the windowed batch with the
+full-window batch, and (c) the gating rules.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+from numpy.testing import assert_allclose
+
+from muse_psfr_tpu.config import GalacsiConfig, TINY_CONFIG
+from muse_psfr_tpu.parallel.batch import estimate_otf_support, \
+    reconstruct_batch
+from muse_psfr_tpu.psd.model import simulate_psd, effective_wind_speed
+from muse_psfr_tpu.otf.psf import dphi_base, pupil_otf
+
+H = (100, 10000)
+CFG = GalacsiConfig(dim=512, dim_pup=24, dimpsf=12)
+
+
+def _measured_support(seeing, GL, L0, lbda_nm, thresh=1e-12):
+    """float64 inf-radius of |G_norm| > thresh on the full grid."""
+    cfg = CFG.with_(dtype="float64", use_sym_fold=False, use_fft=True)
+    ws = effective_wind_speed(H, cfg)
+    psd = simulate_psd(seeing, GL, L0, jnp.ones(4, jnp.float64), H, ws,
+                       1, cfg)
+    base = np.asarray(dphi_base(psd.astype(cfg.dtype), cfg))[0]
+    c = cfg.dim // 2
+    g = np.exp(-0.5 * (2 * np.pi / lbda_nm) ** 2 * base)
+    g *= np.asarray(pupil_otf(cfg)) / g[c, c]
+    ii = np.abs(np.arange(cfg.dim) - c)
+    r = np.maximum(ii[:, None], ii[None, :])
+    return int(r[np.abs(g) > thresh].max())
+
+
+def test_estimate_is_an_upper_bound():
+    """The host bound must dominate the measured f64 support (or report
+    0 = full window) across the telemetry range, including the
+    least-damped corner (excellent seeing, low GL, red wavelength)."""
+    cases = [(0.4, 0.05, 30.0), (0.6, 0.3, 29.0), (1.0, 0.7, 25.0),
+             (1.6, 0.9, 9.0)]
+    for seeing, GL, L0 in cases:
+        S = estimate_otf_support([seeing], [GL], [L0], np.ones((1, 4)), 930.0, CFG)
+        measured = _measured_support(seeing, GL, L0, 930.0)
+        assert S == 0 or (S % 128 == 0 and measured <= S), \
+            (seeing, GL, L0, S, measured)
+    # the production condition must actually get a reduced window
+    assert 0 < estimate_otf_support([1.0], [0.7], [25.0], np.ones((1, 4)),
+                                930.0, CFG) < CFG.dim // 2
+
+
+def test_batch_min_over_rows():
+    """The batch support must cover its least-damped row."""
+    s_all = estimate_otf_support([1.6, 0.4], [0.9, 0.05], [9.0, 30.0],
+                             np.ones((2, 4)), 930.0, CFG)
+    s_weak = estimate_otf_support([0.4], [0.05], [30.0], np.ones((1, 4)),
+                              930.0, CFG)
+    assert s_all == s_weak
+
+
+def test_gating():
+    m1 = np.ones((1, 4))
+    assert estimate_otf_support([1.0], [0.7], [25.0], m1, 930.0,
+                                CFG.with_(use_sym_fold=False)) == 0
+    # below the certified expansion range -> full window
+    assert estimate_otf_support([1.0], [0.7], [3.0], m1, 930.0, CFG) == 0
+    assert estimate_otf_support([np.nan], [0.7], [25.0], m1, 930.0,
+                                CFG) == 0
+    # tiny grids: no reduction possible (S would reach dim/2)
+    assert estimate_otf_support([1.0], [0.7], [25.0], m1, 930.0,
+                                TINY_CONFIG) == 0
+
+
+def test_windowed_batch_matches_full():
+    """End-to-end: auto-support batch == full-window batch."""
+    lbda = np.array([700.0, 930.0])
+    see, gl, l0 = [1.0, 1.3], [0.7, 0.5], [25.0, 18.0]
+    mask = np.ones((2, 4))
+    assert estimate_otf_support(see, gl, l0, mask, 930.0, CFG,
+                            npsflin=2) > 0  # engaged
+    a = reconstruct_batch(see, gl, l0, mask, lbda, npsflin=2, cfg=CFG,
+                          chunk=2)
+    b = reconstruct_batch(see, gl, l0, mask, lbda, npsflin=2,
+                          cfg=CFG.with_(otf_support=CFG.dim // 2), chunk=2)
+    assert_allclose(a, b, rtol=0, atol=2e-6)
+
+
+def test_explicit_support_validation():
+    import pytest
+    with pytest.raises(ValueError, match="multiple of 128"):
+        CFG.with_(otf_support=100).otf_window
+
+
+def test_guard_redo_on_too_small_window():
+    """An explicitly forced too-small window must trip the in-pipeline
+    guard and be recomputed with the full window (values must match the
+    full-window run, not the truncated one)."""
+    lbda = np.array([930.0])
+    # ultra-weak damping: the OTF support exceeds 128 px at dim=512
+    tel = ([0.2], [0.01], [30.0], np.ones((1, 4)))
+    a = reconstruct_batch(*tel, lbda, cfg=CFG.with_(otf_support=128),
+                          chunk=1)
+    b = reconstruct_batch(*tel, lbda,
+                          cfg=CFG.with_(otf_support=CFG.dim // 2), chunk=1)
+    assert_allclose(a, b, rtol=0, atol=2e-6)
