@@ -69,10 +69,12 @@ def main():
     # 5. 32x32 condition sweep over (seeing, GL) at fixed L0, 35 lambda
     sv = np.linspace(0.6, 1.6, 32)
     gv = np.linspace(0.3, 0.9, 32)
-    # compile the sweep chunk shape on a small grid first
-    condition_sweep(sv[:4], gv[:8], [25.0], lbda=lb35, cfg=cfg, chunk=32)
+    # warm=True: the first full run owns the sweep-shape one-time small
+    # compiles (fit concatenation, reorder gather, psum stack) and the
+    # OTF-support estimate for this grid; the second run is steady state
+    # like every other row of the table
     t, _ = timed(lambda: condition_sweep(sv, gv, [25.0], lbda=lb35,
-                                         cfg=cfg, chunk=32), warm=False)
+                                         cfg=cfg, chunk=32))
     rows.append(("condition sweep 32x32 (seeing, GL) x 35 lambda",
                  32 * 32, t))
 

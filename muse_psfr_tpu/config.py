@@ -73,6 +73,14 @@ class GalacsiConfig:
                                # night): 1069 vs 830 rows/s at rms
                                # 2.6e-8 vs 2.2e-8 against the f64 oracle
                                # (budget 1e-5) — "high" is the default
+    conv_precision: str = "highest"  # TPU f32 passes for the final-PSF
+                               # convolution DFT matmuls (tip-tilt +
+                               # instrument Moffat).  "high" (3-pass
+                               # bf16) measures ~2e-7 rms vs the f64
+                               # oracle (budget 1e-5) but its speedup is
+                               # inside the run-to-run variance — the
+                               # conv stage is ~0.09 ms/row of ~0.4 —
+                               # so full f32 stays the default
     use_dphi_split: bool = True  # linearity split of the structure
                                # function: the fitting-PSD transform is
                                # precomputed per config (Taylor basis in
@@ -116,16 +124,16 @@ class GalacsiConfig:
                                # Must be a multiple of 128 (tile-aligned);
                                # each distinct value is a separate
                                # compilation of the pipeline.
-    use_pallas: bool = True    # fused exp+zoom-DFT Pallas kernel (TPU only,
-                               # float32, single-direction, dim % 256 == 0;
-                               # silently falls back to the XLA zoom path
-                               # otherwise).  The kernel builds the system
-                               # OTF tile-wise in VMEM so it never hits HBM:
-                               # with wavelength chunking it measures 269 vs
-                               # 255 rows/s on the full night (v5e), same
-                               # 4e-8 rms.  (An earlier serial-per-lambda
-                               # version measured slower — chunking is what
-                               # feeds the chip.)
+    use_pallas: bool = True    # fused exp+zoom-DFT Pallas kernel (TPU
+                               # only, float32, dim % 128 == 0; silently
+                               # falls back to the XLA zoom path
+                               # otherwise).  Builds the direction-
+                               # averaged system OTF tile-wise in VMEM
+                               # (all wavelengths of a chunk, exp on the
+                               # VPU, zoom contraction on the MXU) so it
+                               # never hits HBM and the structure
+                               # function is read once per chunk; honours
+                               # the symmetry fold and support windows.
 
     # --- derived ------------------------------------------------------------
     @property

@@ -59,7 +59,8 @@ def _dft_mats(n: int, dtype):
     return jnp.asarray(c), jnp.asarray(s)
 
 
-def _dft_convolve_same(planes, kernels, n_img: int, n_ker: int):
+def _dft_convolve_same(planes, kernels, n_img: int, n_ker: int,
+                       precision="highest"):
     """'same' linear convolution via circular DFTs as real MXU matmuls.
 
     Bit-path for FFT-free backends: identical maths to
@@ -70,11 +71,14 @@ def _dft_convolve_same(planes, kernels, n_img: int, n_ker: int):
 
     With W symmetric, F = W X W splits into 6 real matmuls per transform;
     the inverse needs only the real part of the output, 6 more.
+    ``precision`` follows ``cfg.conv_precision``: these matmuls act on
+    the final 40^2 PSF (values O(1), contraction length 80), where the
+    3-pass bf16 tier costs ~1e-7 absolute — far inside the 1e-5 budget.
     """
     nfft = n_img + n_ker - 1
     dt = planes.dtype
     c, s = _dft_mats(nfft, dt)
-    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    mm = partial(jnp.matmul, precision=jax.lax.Precision(precision))
 
     def fwd(x):
         """Real (nl, nfft, nfft) -> (re, im) of W x W."""
@@ -146,7 +150,10 @@ def convolve_final(psf, lbda_nm, seeing, GL, L0, cfg: GalacsiConfig):
     nl, n_img = psf.shape[0], psf.shape[1]
     n_ker = n_img + (n_img % 2 == 0)  # force odd (psfrec.py:911-915)
 
-    conv = _fft_convolve_same if cfg.use_fft else _dft_convolve_same
+    if cfg.use_fft:
+        conv = _fft_convolve_same
+    else:
+        conv = partial(_dft_convolve_same, precision=cfg.conv_precision)
 
     beta_tt = 2.0
     alpha_tt = moffat_fwhm_to_alpha(tip_tilt_fwhm(seeing, GL, L0, cfg),

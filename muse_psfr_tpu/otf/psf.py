@@ -275,11 +275,14 @@ def fitting_dphi_ring_envelopes(cfg: GalacsiConfig):
         ii = np.abs(np.arange(cfg.dim) - c)
         ring = np.maximum(ii[:, None], ii[None, :]).ravel()
         flat = arr.reshape(arr.shape[0], -1)
-        tmin = np.full((arr.shape[0], c + 1), np.inf)
-        tmax = np.full((arr.shape[0], c + 1), -np.inf)
-        for k in range(arr.shape[0]):
-            np.minimum.at(tmin[k], ring, flat[k])
-            np.maximum.at(tmax[k], ring, flat[k])
+        # segment reductions via sort + reduceat (ufunc.at is ~100x
+        # slower at these sizes); every ring 0..c is non-empty
+        order = np.argsort(ring, kind="stable")
+        bounds = np.searchsorted(ring[order], np.arange(c + 1))
+        tmin = np.stack([np.minimum.reduceat(flat[k][order], bounds)
+                         for k in range(arr.shape[0])])
+        tmax = np.stack([np.maximum.reduceat(flat[k][order], bounds)
+                         for k in range(arr.shape[0])])
         _BASIS_RING_CACHE[key] = (tmin, tmax)
     return _BASIS_RING_CACHE[key]
 

@@ -318,8 +318,11 @@ def rows_windowable(seeing, GL, L0, gs_mask, lbda_max_nm, cfg, S,
     rows_p = np.array([c + dy for dy, _ in pts])
     cols_q = np.array([c + dx for _, dx in pts])
     uq, qinv = np.unique(cols_q, return_inverse=True)
-    yc = np.einsum("rdst,qt->rdsq", delta, cb[uq])       # (R,ndir,s,nq)
-    ys = np.einsum("rdst,qt->rdsq", delta, sb[uq])
+    # contract as BLAS GEMMs (einsum would loop): (R*ndir*s, s) @ (s, nq)
+    rr, nd = delta.shape[0], delta.shape[1]
+    flat = delta.reshape(-1, s)
+    yc = (flat @ cb[uq].T).reshape(rr, nd, s, -1)        # (R,ndir,s,nq)
+    ys = (flat @ sb[uq].T).reshape(rr, nd, s, -1)
     re = (np.einsum("ps,rdsp->rdp", cb[rows_p],
                     yc[..., qinv])
           - np.einsum("ps,rdsp->rdp", sb[rows_p], ys[..., qinv]))

@@ -109,3 +109,39 @@ def test_guard_redo_on_too_small_window():
     b = reconstruct_batch(*tel, lbda,
                           cfg=CFG.with_(otf_support=CFG.dim // 2), chunk=1)
     assert_allclose(a, b, rtol=0, atol=2e-6)
+
+
+def test_process_batch_restores_input_order():
+    """Bucketed dispatch reorders rows; packed fits must come back in
+    input order, and on_chunk must receive the true row indices."""
+    from muse_psfr_tpu.parallel.batch import process_batch, rows_windowable
+    from muse_psfr_tpu.parallel.batch import default_support_bucket
+    lbda = np.array([930.0])
+    # interleave windowable and non-windowable rows
+    see = np.array([1.0, 0.2, 1.3, 0.25])
+    gl = np.array([0.7, 0.01, 0.5, 0.02])
+    l0 = np.array([25.0, 30.0, 18.0, 29.0])
+    mask = np.ones((4, 4))
+    ok = rows_windowable(see, gl, l0, mask, 930.0, CFG,
+                         default_support_bucket(CFG))
+    assert ok.tolist() == [True, False, True, False]  # mixed buckets
+
+    seen = {}
+
+    def on_chunk(idx, packed):
+        for j, row in zip(idx, packed):
+            seen[int(j)] = row
+
+    fit, psf_mean, fit_mean = process_batch(see, gl, l0, mask, lbda,
+                                            cfg=CFG, chunk=2,
+                                            on_chunk=on_chunk)
+    assert sorted(seen) == [0, 1, 2, 3]
+    for j in range(4):
+        assert_allclose(fit[j], seen[j], rtol=0, atol=0)
+
+    # input order: must match the full-window run (single group, no
+    # reordering) row for row
+    fit_full, _, _ = process_batch(see, gl, l0, mask, lbda,
+                                   cfg=CFG.with_(otf_support=CFG.dim // 2),
+                                   chunk=2)
+    assert_allclose(fit, fit_full, rtol=0, atol=1e-4)
