@@ -14,8 +14,9 @@ pulled; device time is measured with the slope method (time N enqueues +
 one tiny sync pull, difference of two N) because ``block_until_ready``
 does not measure device time reliably over the axon tunnel.
 
-Usage:  python benchmarks/profile_stages.py [rows] [npsflin]
-Writes benchmarks/profile_stages.json and prints one JSON line per stage.
+Usage:  python benchmarks/profile_stages.py [rows] [npsflin] [otf_support]
+(``otf_support`` e.g. 256 profiles the reduced-window pipeline variant.)
+Writes benchmarks/profile_stages_npsflin*.json, one JSON line per stage.
 """
 
 import json
@@ -41,6 +42,7 @@ from muse_psfr_tpu.fit.moffat_fit import fit_moffat_cube_packed
 
 R = int(sys.argv[1]) if len(sys.argv) > 1 else 25
 NPSFLIN = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+SUPPORT = int(sys.argv[3]) if len(sys.argv) > 3 else 0
 NL = 35
 H = (100, 10000)
 
@@ -111,7 +113,7 @@ def slope_time(fn, args, n_lo=2, n_hi=12, reps=3):
 
 
 def main():
-    cfg = resolve_fft_mode(GalacsiConfig())
+    cfg = resolve_fft_mode(GalacsiConfig(otf_support=SUPPORT))
     rng = np.random.default_rng(20260816)
     t = np.concatenate([
         rng.uniform(0.6, 1.6, (R, 1)), rng.uniform(0.3, 0.9, (R, 1)),
@@ -120,6 +122,7 @@ def main():
     lb = jnp.asarray(np.linspace(490, 930, NL), cfg.dtype)
 
     results = {"rows": R, "npsflin": NPSFLIN, "nl": NL,
+               "otf_support": SUPPORT,
                "device": str(jax.devices()[0]), "use_fft": cfg.use_fft,
                "use_pallas": cfg.use_pallas, "stages": {}}
     prev = 0.0
@@ -143,8 +146,9 @@ def main():
     total = prev
     results["total_s_per_chunk"] = round(total, 5)
     results["rows_per_sec"] = round(R / total, 1)
+    tag = f"_s{SUPPORT}" if SUPPORT else ""
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       f"profile_stages_npsflin{NPSFLIN}.json")
+                       f"profile_stages_npsflin{NPSFLIN}{tag}.json")
     with open(out, "w") as fh:
         json.dump(results, fh, indent=1)
     print(json.dumps({"total_s_per_chunk": results["total_s_per_chunk"],
