@@ -198,7 +198,16 @@ def dphi_base(psd, cfg: GalacsiConfig):
 _DPHI_BASIS_CACHE = {}
 
 
-def fitting_dphi_basis(cfg: GalacsiConfig):
+def _fitting_dphi_basis_np(cfg: GalacsiConfig):
+    """Full-grid numpy basis in ``cfg.dtype`` (host cache fill only —
+    no device transfer; see :func:`fitting_dphi_basis`)."""
+    fitting_dphi_basis(cfg, _fill_only=True)
+    key = (cfg.dim, cfg.npup, cfg.dpup, cfg.fc, cfg.dphi_split_degree,
+           cfg.dphi_split_l0_min, cfg.dtype)
+    return _DPHI_BASIS_CACHE[key]
+
+
+def fitting_dphi_basis(cfg: GalacsiConfig, _fill_only=False):
     """Structure-function transforms of the fitting-PSD Taylor basis.
 
     The PSD decomposes as ``sum_k w_k B_k + embed(delta)`` (see
@@ -243,6 +252,8 @@ def fitting_dphi_basis(cfg: GalacsiConfig):
             t = 2.0 * (bg[0, 0] - bg)
             ts.append(np.fft.fftshift(t))
         _DPHI_BASIS_CACHE[key] = np.stack(ts).astype(cfg.dtype)
+    if _fill_only:
+        return None
     arr = _DPHI_BASIS_CACHE[key]
     win = cfg.otf_window
     if win is None:
@@ -269,8 +280,7 @@ def fitting_dphi_ring_envelopes(cfg: GalacsiConfig):
     key = (cfg.dim, cfg.npup, cfg.dpup, cfg.fc, cfg.dphi_split_degree,
            cfg.dphi_split_l0_min)
     if key not in _BASIS_RING_CACHE:
-        fitting_dphi_basis(cfg.with_(dtype="float64"))  # fill f64 cache
-        arr = _DPHI_BASIS_CACHE[key + ("float64",)]
+        arr = _fitting_dphi_basis_np(cfg.with_(dtype="float64"))
         c = cfg.dim // 2
         ii = np.abs(np.arange(cfg.dim) - c)
         ring = np.maximum(ii[:, None], ii[None, :]).ravel()
@@ -396,6 +406,23 @@ def _combine_bilinear(p, t, nout: int):
             + w0[:, None] * t[None, :] * p[:nout, nout:]
             + t[:, None] * w0[None, :] * p[nout:, :nout]
             + t[:, None] * t[None, :] * p[nout:, nout:])
+
+
+def _pallas_lambda_chunk(cfg: GalacsiConfig, nrows: int) -> int:
+    """Largest wavelength-chunk size whose fused-kernel VMEM budget
+    fits: the a2 block, the accumulation scratch, and the double-
+    buffered dphi/dl/u pipeline blocks (~16 MB/core on TPU).  The
+    dim=1280 full-window production case (~15.2 MB at chunk 7) is known
+    to fit; larger grids with the full window (e.g. dim=2048) would
+    blow up — shrink the chunk instead of crashing in Mosaic, and
+    report 0 when not even one wavelength fits (callers then fall back
+    to the XLA zoom path)."""
+    m2, tj = 4 * cfg.dimpsf, 128
+    per_k = 4 * (m2 * nrows + nrows * tj + 2 * 2 * m2 * tj)
+    fixed = 4 * 2 * 2 * nrows * tj                  # dphi + dl blocks
+    # calibrated so the known-fitting production case keeps chunk 7
+    budget = 15_800_000
+    return max(0, (budget - fixed) // per_k)
 
 
 def _psf_chunk_pallas(base, dl, lb_k, npix_k, cfg, interpret=False):
@@ -629,6 +656,12 @@ def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig):
 
     nl = lbda_nm.shape[0]
     k = max(1, min(cfg.lambda_chunk, nl))
+    if pallas_ok:
+        k_fit = _pallas_lambda_chunk(cfg, base.shape[-2])
+        if k_fit < 1:
+            pallas_ok = False       # cannot fit even one wavelength
+        else:
+            k = max(1, min(k, k_fit))
     if jax.default_backend() == "cpu" and not pallas_ok:
         k = 1  # no parallel gain on one host core; chunking only adds memory
     if k == 1 and not pallas_ok:

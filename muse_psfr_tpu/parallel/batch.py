@@ -288,7 +288,9 @@ def rows_windowable(seeing, GL, L0, gs_mask, lbda_max_nm, cfg, S,
     tmin, tmax = fitting_dphi_ring_envelopes(cfg)        # (K+1, c+1)
     u0, binoms = fitting_expansion_spec(cfg.dphi_split_l0_min,
                                         cfg.dphi_split_degree)
-    r0 = 0.976 * 0.5 / see_v / 4.85 * (2.0 * cfg.lambda_ref) ** 1.2
+    from ..psd.model import seeing_to_r0
+    with jax.default_device(jax.devices("cpu")[0]):
+        r0 = np.asarray(seeing_to_r0(see_v, cfg.lambda_ref), np.float64)
     nm2 = (cfg.lambda_ref * 1000.0 / (2 * np.pi)) ** 2
     du = 1.0 / (l0_v * l0_v) - u0
     w = (nm2 * CST_VK_EXACT * r0[:, None] ** (-5.0 / 3.0) * binoms[None]
@@ -359,7 +361,7 @@ def estimate_otf_support(seeing, GL, L0, gs_mask, lbda_max_nm, cfg,
 
 
 def _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg, chunk,
-                mesh):
+                mesh, force_full=False):
     """Shared batch planning: validate, resolve the config against the
     backend, bucket rows by OTF support, and build the telemetry table.
 
@@ -387,30 +389,52 @@ def _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg, chunk,
     GL = np.atleast_1d(np.asarray(GL, dtype=np.float64))
     L0 = np.atleast_1d(np.asarray(L0, dtype=np.float64))
 
-    # the split path's fitting-PSD expansion is certified only for
-    # L0 >= dphi_split_l0_min; outlier rows get the exact full transform
-    if cfg.use_dphi_split and np.any(L0 < cfg.dphi_split_l0_min):
-        cfg = cfg.with_(use_dphi_split=False)
-
     gs_mask = np.atleast_2d(np.asarray(gs_mask, dtype=np.float64))
     B = seeing.shape[0]
 
-    # telemetry-aware OTF-support buckets: rows whose OTF provably fits
-    # the reduced window run the cheap variant, the rest the full one;
-    # the in-pipeline window guard backstops the host-side bound
-    groups = [(cfg, np.arange(B))]
-    if cfg.otf_support == 0 and cfg.otf_window is not None:
-        bq = default_support_bucket(cfg)
-        if bq < cfg.dim // 2:
-            okw = rows_windowable(seeing, GL, L0, gs_mask,
-                                  float(lb_np.max()), cfg, bq, h=h_t,
-                                  wind_speed=wind_speed, npsflin=npsflin)
-            cfg_w = cfg.with_(otf_support=bq)
-            if okw.all():
-                groups = [(cfg_w, np.arange(B))]
-            elif okw.any():
-                groups = [(cfg_w, np.nonzero(okw)[0]),
-                          (cfg, np.nonzero(~okw)[0])]
+    # rows outside the certified split range (L0 < dphi_split_l0_min or
+    # non-finite) get their own exact-transform group instead of
+    # disabling the split for the whole batch
+    split_bad = np.zeros(B, bool)
+    if cfg.use_dphi_split:
+        split_bad = ~(np.isfinite(L0) & (L0 >= cfg.dphi_split_l0_min))
+
+    if force_full:
+        # guard-redo path: the ORIGINAL config's full-window executable
+        # (otf_support=0 <-> full window share the jit static key only
+        # when the field itself is 0)
+        g0 = cfg.with_(otf_support=0) if cfg.otf_support else cfg
+        groups = [(g0, np.arange(B))]
+        if split_bad.any():
+            groups = [(g0.with_(use_dphi_split=False),
+                       np.nonzero(split_bad)[0])]
+            if (~split_bad).any():
+                groups.insert(0, (g0, np.nonzero(~split_bad)[0]))
+    else:
+        groups = []
+        if split_bad.any():
+            groups.append((cfg.with_(use_dphi_split=False),
+                           np.nonzero(split_bad)[0]))
+        rest = np.nonzero(~split_bad)[0]
+        if rest.size:
+            # telemetry-aware OTF-support buckets: rows whose OTF
+            # provably fits the reduced window run the cheap variant,
+            # the rest the full one; the in-pipeline window guard
+            # backstops the host-side bound
+            sub = [(cfg, rest)]
+            if cfg.otf_support == 0 and cfg.otf_window is not None:
+                bq = default_support_bucket(cfg)
+                if bq < cfg.dim // 2:
+                    okw = rows_windowable(
+                        seeing[rest], GL[rest], L0[rest], gs_mask[rest],
+                        float(lb_np.max()), cfg, bq, h=h_t,
+                        wind_speed=wind_speed, npsflin=npsflin)
+                    cfg_w = cfg.with_(otf_support=bq)
+                    if okw.all():
+                        sub = [(cfg_w, rest)]
+                    elif okw.any():
+                        sub = [(cfg_w, rest[okw]), (cfg, rest[~okw])]
+            groups += sub
 
     n_dev = 1 if mesh is None else mesh.size
     chunk = max(min(chunk, B), n_dev)
@@ -427,7 +451,7 @@ def _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg, chunk,
 
 def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                 npsflin: int = 1, cfg: GalacsiConfig = None,
-                chunk: int = 8, mesh: Mesh = None):
+                chunk: int = 8, mesh: Mesh = None, force_full=False):
     """Yield (row_indices, psf_chunk, window_guard) over padded chunks;
     the arrays stay on device.  ``row_indices`` maps the chunk's first
     ``len(row_indices)`` results back to input rows — rows are bucketed
@@ -446,7 +470,7 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     """
     cfg, groups, chunk, table, lbda, h_t, wind_speed, sharding = \
         _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
-                    chunk, mesh)
+                    chunk, mesh, force_full)
     mesh = None if sharding is None else sharding.mesh
 
     for gcfg, gidx in groups:
@@ -500,7 +524,8 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
 
 def reconstruct_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                       npsflin: int = 1, cfg: GalacsiConfig = None,
-                      chunk: int = 8, mesh: Mesh = None):
+                      chunk: int = 8, mesh: Mesh = None,
+                      _force_full=False):
     """Reconstruct PSF cubes for a batch of work items.
 
     Parameters are (B,)-shaped arrays (``gs_mask``: (B, 4) float validity
@@ -514,7 +539,8 @@ def reconstruct_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     gs_mask = np.atleast_2d(np.asarray(gs_mask, np.float64))
     out = None
     for idx, res, guard in _run_chunks(seeing, GL, L0, gs_mask, lbda, h,
-                                       npsflin, cfg, chunk, mesh):
+                                       npsflin, cfg, chunk, mesh,
+                                       _force_full):
         psf_np, guard_np = pull_packed(res, guard)
         if out is None:
             out = np.empty((seeing.shape[0],) + psf_np.shape[1:],
@@ -522,15 +548,14 @@ def reconstruct_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
         if float(guard_np) < 0.0:
             # the auto OTF-support window was too small for this chunk's
             # telemetry: recompute these rows with the full window
-            base_cfg = cfg or GalacsiConfig()
+            # (same config -> the full bucket's executable is reused)
             logger.warning(
                 "OTF-support window guard tripped (margin %.2f); "
                 "recomputing %d rows with the full window",
                 float(guard_np), len(idx))
             out[idx] = reconstruct_batch(
                 seeing[idx], GL[idx], L0[idx], gs_mask[idx], lbda, h,
-                npsflin, base_cfg.with_(otf_support=base_cfg.dim // 2),
-                chunk, mesh)
+                npsflin, cfg, chunk, mesh, _force_full=True)
         else:
             out[idx] = psf_np[:len(idx)]
     return out
@@ -560,7 +585,8 @@ def pull_packed(*arrays):
 def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                   npsflin: int = 1, cfg: GalacsiConfig = None,
                   chunk: int = 8, mesh: Mesh = None,
-                  fit_dtype: str = None, on_chunk=None):
+                  fit_dtype: str = None, on_chunk=None,
+                  _force_full=False):
     """Full device-resident batch: reconstruct, Moffat-fit, and average.
 
     Returns ``(fit_packed, psf_mean, fit_mean_packed)`` — numpy arrays:
@@ -586,7 +612,7 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
 
     cfg_r, groups, chunk_n, table, lbda_j, h_t, wind_speed, sharding = \
         _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
-                    chunk, mesh)
+                    chunk, mesh, _force_full)
 
     fits, idxs, psums, guards = [], [], [], []
     count = 0
@@ -656,8 +682,9 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     if float(guard_np) < 0.0:
         logger.warning(
             "OTF-support window guard tripped (margin %.2f); recomputing "
-            "the batch with the full window", float(guard_np))
+            "the batch with the full window (same config, so the full "
+            "bucket's executable is reused)", float(guard_np))
         return process_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin,
-                             cfg.with_(otf_support=cfg.dim // 2), chunk,
-                             mesh, fit_dtype, on_chunk)
+                             cfg, chunk, mesh, fit_dtype, on_chunk,
+                             _force_full=True)
     return fit, psf_mean, fit_mean

@@ -53,8 +53,10 @@ def test_split_matches_exact(dtype, tol_rel, npsflin):
 
 
 def test_batch_l0_fallback_matches():
-    """Rows with L0 below the certified range take the exact path; the
-    result must equal an explicit use_dphi_split=False run."""
+    """Rows with L0 below the certified range take the exact path (per
+    row — an outlier no longer disables the split for the whole batch):
+    the outlier row must match the explicit use_dphi_split=False run
+    exactly, the valid row keeps the (certified) split path."""
     from muse_psfr_tpu.parallel.batch import reconstruct_batch
     cfg = TINY_CONFIG
     lbda = np.array([700.0, 900.0])
@@ -64,7 +66,8 @@ def test_batch_l0_fallback_matches():
     with_gate = reconstruct_batch(see, gl, l0_low, mask, lbda, cfg=cfg)
     exact = reconstruct_batch(see, gl, l0_low, mask, lbda,
                               cfg=cfg.with_(use_dphi_split=False))
-    np.testing.assert_array_equal(with_gate, exact)
+    np.testing.assert_array_equal(with_gate[1], exact[1])
+    np.testing.assert_allclose(with_gate[0], exact[0], rtol=0, atol=3e-6)
 
 
 def test_degree_guard():

@@ -64,3 +64,19 @@ def test_psf_chunk_pallas_matches_xla():
     got = _psf_chunk_pallas(base, pupil_otf(cfg), lb, npx, cfg,
                             interpret=True)
     assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=2e-6)
+
+
+def test_pallas_vmem_chunk_gate():
+    """The fused kernel's wavelength chunk shrinks with the OTF-window
+    height so its VMEM footprint stays inside the ~16 MB budget (the
+    dim=2048 full-window case would otherwise fail in Mosaic)."""
+    from muse_psfr_tpu.config import GalacsiConfig
+    from muse_psfr_tpu.otf.psf import _pallas_lambda_chunk
+    cfg = GalacsiConfig()
+    # the known-fitting production case must keep its chunk of 7
+    assert _pallas_lambda_chunk(cfg, cfg.dim) >= cfg.lambda_chunk
+    # dim=2048 full window: must shrink but still fit at least one
+    k2 = _pallas_lambda_chunk(GalacsiConfig(dim=2048), 2048)
+    assert 1 <= k2 < 7
+    # reduced windows leave plenty of room
+    assert _pallas_lambda_chunk(cfg, 512) >= 7
