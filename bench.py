@@ -104,9 +104,15 @@ def main():
     # pipeline and the cross-chunk concatenation)
     run(N_ROWS)
 
-    t0 = time.perf_counter()
-    fit, psf_mean, fit_mean = run(N_ROWS)
-    elapsed = time.perf_counter() - t0
+    # best of 3 timed runs: the shared tunneled chip's run-to-run spread
+    # (chip sharing + command-latency jitter) is larger than the
+    # pipeline's own variation, so the minimum is the stable estimator
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fit, psf_mean, fit_mean = run(N_ROWS)
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
     rows_per_sec = N_ROWS / elapsed
 
     # accuracy: reconstruct the first chunk again (reusing the jit cache —
