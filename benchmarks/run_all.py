@@ -51,6 +51,13 @@ def main():
         seeing, GL, L0, mask, lb35, cfg=cfg, chunk=25)))
     rows.append(("full night: 100 rows x 35 lambda", 100, t))
 
+    # 3a. full night in the 9-direction mode (npsflin=3, the reference's
+    # compute_psf_from_sparta default signature)
+    t, _ = timed(lambda: (process_batch(
+        seeing, GL, L0, mask, lb35, npsflin=3, cfg=cfg, chunk=25)))
+    rows.append(("full night, npsflin=3 (9 directions): 100 rows x 35 "
+                 "lambda", 100, t))
+
     # 3b. extended steady state: 1000 rows.  warm=True: the pipeline
     # executable is shared with config 3, but the batch size still owns
     # small one-time compiles (chunk-slice, fit concatenation) that a
