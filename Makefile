@@ -3,10 +3,11 @@
 #   make test    - test suite only
 #   make bench   - headline benchmark on the current backend
 #   make docs    - executable-docs check (docs snippets run as tests)
+#   make docs-html - static HTML documentation build (docs/_build)
 
 PY ?= python
 
-.PHONY: ci test dryrun cli-golden bench docs
+.PHONY: ci test dryrun cli-golden bench docs docs-html
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -23,6 +24,9 @@ cli-golden:
 
 docs:
 	$(PY) -m pytest tests/test_docs_examples.py -q
+
+docs-html:
+	$(PY) docs/build.py
 
 ci: test dryrun cli-golden
 	@echo "CI gate passed"

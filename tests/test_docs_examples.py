@@ -31,3 +31,22 @@ def test_doc_block_executes(block):
 
 def test_docs_have_executable_blocks():
     assert len(_doc_blocks()) >= 6
+
+
+def test_docs_html_build(tmp_path):
+    """The static HTML documentation build (the reference's sphinx-build
+    analog) renders every page with nav and rewritten intra-repo links."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "docs_build", os.path.join(os.path.dirname(__file__), "..",
+                                   "docs", "build.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    pages = mod.build(str(tmp_path))
+    assert len(pages) == len(mod.PAGES)
+    index = (tmp_path / "index.html").read_text()
+    assert "muse-psfr-tpu" in index and "<nav>" in index
+    assert 'href="parity.html"' in index          # nav link
+    parity = (tmp_path / "parity.html").read_text()
+    assert "<table>" in parity                    # tables rendered
