@@ -57,7 +57,11 @@ def _debug_condition_summary(seeing, GL, h, cfg):
 def fit_table_from_arrays(lbda, fit, pixscale=0.2):
     """Moffat-fit arrays (leading axis = wavelength) -> FitTable.
 
-    FWHM converted px -> arcsec (reference psfrec.py:868-869).
+    FWHM converted px -> arcsec (reference psfrec.py:868-869).  When the
+    fit dict carries the per-plane ``ok`` convergence flag (see
+    :data:`muse_psfr_tpu.fit.moffat_fit.PACKED_FIELDS`) it is appended
+    as an extra integer column — the analog of the scipy-leastsq status
+    the reference's mpdaf fit would expose (psfrec.py:861-871).
     """
     t = FitTable()
     t["lbda"] = np.asarray(lbda, float)
@@ -66,6 +70,8 @@ def fit_table_from_arrays(lbda, fit, pixscale=0.2):
         if k in ("fwhm", "err_fwhm"):
             v = v * pixscale
         t[k] = v
+    if "ok" in fit:
+        t["ok"] = np.asarray(fit["ok"], float)
     return t
 
 

@@ -50,9 +50,12 @@ def _x64_context():
     if jax.default_backend() != "cpu":
         return nullcontext()
     try:
-        from jax._src.config import enable_x64
-        return enable_x64(True)
-    except Exception:  # pragma: no cover - fallback for future jax versions
+        return jax.enable_x64(True)  # public scoped-x64 API (jax >= 0.4.26)
+    except Exception:  # fallback for a jax without scoped x64
+        logger.warning(
+            "scoped x64 unavailable in this jax (%s): enabling "
+            "jax_enable_x64 GLOBALLY to preserve the float64 parity "
+            "contract", jax.__version__)
         jax.config.update("jax_enable_x64", True)
         return nullcontext()
 

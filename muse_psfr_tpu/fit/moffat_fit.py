@@ -30,9 +30,15 @@ LM_ITERS = 20  # converged by ~10 on MUSE-like planes; margin for edge
                # corners): 14 iters drifts beta up to 1.5e-3 vs 20 — 15% of
                # the golden tolerance for ~10 ms/chunk; not worth it.
 
-#: layout of the packed per-plane fit result (one device->host transfer)
+#: layout of the packed per-plane fit result (one device->host transfer).
+#: ``ok`` is the fit-quality flag (1.0 = converged: finite final
+#: parameters, improving LM steps were accepted, and the final Gram
+#: matrix was SPD so the error bars are meaningful) — the analog of the
+#: scipy ``leastsq``/mpdaf ``ier`` status the reference surfaces
+#: (psfrec.py:861-871).
 PACKED_FIELDS = ("cy", "cx", "err_cy", "err_cx", "flux", "err_flux",
-                 "peak", "err_peak", "fwhm", "err_fwhm", "n", "err_n")
+                 "peak", "err_peak", "fwhm", "err_fwhm", "n", "err_n",
+                 "ok")
 N_PACKED = len(PACKED_FIELDS)
 
 
@@ -134,7 +140,14 @@ def _chol_inverse(a_lower):
 
 
 def _lm_solve(img, yy, xx):
-    """Fixed-iteration LM on one plane.  Returns (params, cov diag)."""
+    """Fixed-iteration LM on one plane.
+
+    Returns ``(params, cov diag, ok)``: ``ok`` is 1.0 when the solve is
+    trustworthy — final parameters finite, at least one improving LM
+    step accepted (a degenerate plane yields NaN steps which are all
+    *rejected*, leaving the initial guess), and the final Gram matrix
+    SPD (finite covariance) — and 0.0 otherwise.
+    """
     dtype = img.dtype
     data = img.ravel()
 
@@ -152,7 +165,7 @@ def _lm_solve(img, yy, xx):
     lam0 = jnp.asarray(1e-3, dtype)
 
     def step(carry, _):
-        p, lam, c = carry
+        p, lam, c, acc = carry
         r, cols = model_cols(p)
         jtj, jtr = _gram(cols, r)
         a = [[jtj[i][j] * ((1.0 + lam) if i == j else 1.0)
@@ -163,19 +176,22 @@ def _lm_solve(img, yy, xx):
         better = c_new < c
         p = jnp.where(better, p_new, p)
         c = jnp.where(better, c_new, c)
+        acc = acc | better
         lam = jnp.where(better, lam / 3.0, lam * 2.0)
         lam = jnp.clip(lam, 1e-12, 1e8)
-        return (p, lam, c), None
+        return (p, lam, c, acc), None
 
-    (p, _, c), _ = jax.lax.scan(step, (p0, lam0, cost_of(p0)),
-                                None, length=LM_ITERS)
+    (p, _, c, acc), _ = jax.lax.scan(
+        step, (p0, lam0, cost_of(p0), jnp.asarray(False)),
+        None, length=LM_ITERS)
 
     r, cols = model_cols(p)
     jtj, _ = _gram(cols, r)
     inv_cols = _chol_inverse(jtj)
     dof = data.shape[0] - N_PARAMS
     var = jnp.stack([inv_cols[k][k] for k in range(N_PARAMS)]) * (c / dof)
-    return p, var
+    ok = (acc & jnp.all(jnp.isfinite(p)) & jnp.all(jnp.isfinite(var)))
+    return p, var, ok.astype(dtype)
 
 
 @partial(jax.jit, static_argnames=("dtype",))
@@ -194,7 +210,7 @@ def fit_moffat_cube_packed(cube, dtype: str = "float32"):
     yy = yy.astype(dt)
     xx = xx.astype(dt)
 
-    p, var = jax.vmap(lambda im: _lm_solve(im, yy, xx))(planes)
+    p, var, ok = jax.vmap(lambda im: _lm_solve(im, yy, xx))(planes)
     err = jnp.sqrt(jnp.maximum(var, 0.0))
 
     cy, cx, peak, alpha, n = (p[:, k] for k in range(N_PARAMS))
@@ -211,7 +227,7 @@ def fit_moffat_cube_packed(cube, dtype: str = "float32"):
                                         (e_n / (n - 1.0)) ** 2)
 
     packed = jnp.stack([cy, cx, e_cy, e_cx, flux, err_flux, peak, e_peak,
-                        fwhm, err_fwhm, n, e_n], axis=-1)
+                        fwhm, err_fwhm, n, e_n, ok], axis=-1)
     return packed.reshape(lead + (N_PACKED,))
 
 
@@ -229,6 +245,7 @@ def unpack_fit(packed):
         "fwhm": dup(f["fwhm"], f["fwhm"]),
         "err_fwhm": dup(f["err_fwhm"], f["err_fwhm"]),
         "n": f["n"], "err_n": f["err_n"],
+        "ok": f["ok"] > 0.5,
     }
 
 
@@ -255,9 +272,13 @@ def fit_moffat_cube_host64(cube):
     cube = np.asarray(cube, np.float64)
     cpu = jax.devices("cpu")[0]
     try:
-        from jax._src.config import enable_x64
-        ctx = enable_x64(True)
-    except Exception:  # pragma: no cover - future-jax fallback
+        ctx = jax.enable_x64(True)  # public scoped-x64 API (jax >= 0.4.26)
+    except Exception:  # fallback for a jax without scoped x64
+        from ..utils.log import get_logger
+        get_logger("fit").warning(
+            "scoped x64 unavailable in this jax (%s): the FIT_MEAN refit "
+            "runs in float32, degrading the polynomial-coefficient "
+            "contract ~8x (docs/precision.md)", jax.__version__)
         return fit_moffat_cube(jnp.asarray(cube), dtype="float32")
     with ctx, jax.default_device(cpu):
         return unpack_fit(np.asarray(

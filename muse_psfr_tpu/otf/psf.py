@@ -603,7 +603,13 @@ def psf_cube(psd, lbda_nm, cfg: GalacsiConfig):
 @partial(jax.jit, static_argnames=("cfg",))
 def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig):
     """PSF cube from the wavelength-free structure function ``base``
-    ((ndir, dim, dim); from :func:`dphi_base` or :func:`dphi_base_split`).
+    (from :func:`dphi_base` or :func:`dphi_base_split` under the SAME
+    config).  Its shape is the config's fold/support window: ``(ndir,
+    2*S, S + 128)`` with ``S = cfg.otf_window[1]`` — rows ``[c-S, c+S)``
+    and columns ``[c-S, c+128)`` of the full grid (the point-symmetry
+    fold keeps only 128 columns past the centre ``c = dim//2``) — or
+    ``(ndir, dim, dim)`` when ``cfg.otf_window is None``; a mismatch
+    raises ``ValueError``.
     """
     dtype = jnp.dtype(cfg.dtype)
     dim = cfg.dim

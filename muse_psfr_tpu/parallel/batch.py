@@ -34,9 +34,20 @@ def _window_guard(base, lbda, cfg: GalacsiConfig):
     """Margin of the OTF-support window, from the windowed structure
     function: ``0.5 * convnm_max^2 * min(D on the window boundary) -
     ln(1e9)``.  Nonnegative means every dropped OTF value is below 1e-9
-    of the DC (D grows outward), i.e. the window was large enough;
-    callers recompute with the full window otherwise.  +inf when no
-    support reduction is active.
+    of the DC, i.e. the window was large enough; callers recompute with
+    the full window otherwise.  +inf when no support reduction is
+    active.
+
+    The bound treats the boundary minimum as a lower bound for all of
+    the exterior, i.e. it assumes ``D`` grows outward in the inf-radius.
+    That is a *heuristic*: ``D = 2(bg00 - Re(bg))`` is not strictly
+    monotone for all telemetry, so a non-monotone ridge strictly outside
+    the window with ``D`` below the boundary minimum would evade this
+    guard.  The real screen is the host-side estimator
+    (:func:`rows_windowable`), which samples ``D`` on 8 extreme rays out
+    to the full grid edge at a threshold (1e-12) three decades below
+    this guard's 1e-9 — the guard is the on-device backstop for rows
+    the estimator admitted, not the primary certification.
     """
     win = cfg.otf_window
     if win is None or win[1] >= cfg.dim // 2:
@@ -586,7 +597,7 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                   npsflin: int = 1, cfg: GalacsiConfig = None,
                   chunk: int = 8, mesh: Mesh = None,
                   fit_dtype: str = None, on_chunk=None,
-                  _force_full=False):
+                  _force_full=False, _return_parts=False):
     """Full device-resident batch: reconstruct, Moffat-fit, and average.
 
     Returns ``(fit_packed, psf_mean, fit_mean_packed)`` — numpy arrays:
@@ -594,21 +605,40 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     (see :data:`muse_psfr_tpu.fit.moffat_fit.PACKED_FIELDS`), the
     (nl, dimpsf, dimpsf) mean PSF cube, and its packed fit.  Only these
     small arrays ever cross the device->host link, in ONE packed
-    transfer together with the window guard (the link is latency-bound
-    on tunneled TPUs, ~37 ms per pull); the (B, nl, dimpsf, dimpsf) PSF
-    cubes never leave the device.  Unpack with
-    :func:`muse_psfr_tpu.fit.moffat_fit.unpack_fit`.
+    transfer together with the per-chunk window guards (the link is
+    latency-bound on tunneled TPUs, ~37 ms per pull); the
+    (B, nl, dimpsf, dimpsf) PSF cubes never leave the device.  Unpack
+    with :func:`muse_psfr_tpu.fit.moffat_fit.unpack_fit`.
+
+    When the OTF-support window guard trips, ONLY the rows of the
+    tripped chunks are recomputed with the full window (the per-chunk
+    guard vector rides the packed result pull); the mean PSF and its
+    fit are corrected on device from the redone rows' sums.  Untripped
+    chunks — in particular everything already in the full-window bucket
+    — are never recomputed.
 
     ``on_chunk(row_indices, packed_numpy)`` is an optional incremental
     sink called after each chunk completes, with the input-row indices
     the chunk covers — chunks do NOT arrive in input order (rows are
-    bucketed by OTF support).  The reference has nothing comparable; use
-    it to checkpoint long sweeps — it pulls each chunk's packed fits to
-    the host, which costs one small transfer per chunk.
+    bucketed by OTF support).  On a window-guard trip, ``on_chunk`` is
+    called AGAIN for the redone rows with the corrected values (same
+    indices as an earlier call): sinks must treat the indices as keys
+    (index an array, as :func:`muse_psfr_tpu.api.condition_sweep` does),
+    not append.  The reference has nothing comparable; use it to
+    checkpoint long sweeps — it pulls each chunk's packed fits to the
+    host, which costs one small transfer per chunk.
+
+    ``_return_parts`` (internal, redo path): return the device-resident
+    ``(fit_packed, psf_sum, guard_vec)`` without any host pull, mean, or
+    guard handling.
     """
     from ..fit.moffat_fit import fit_moffat_cube_packed
     cfg = cfg or GalacsiConfig()
     fit_dtype = fit_dtype or cfg.fit_dtype
+    seeing = np.atleast_1d(np.asarray(seeing, np.float64))
+    GL = np.atleast_1d(np.asarray(GL, np.float64))
+    L0 = np.atleast_1d(np.asarray(L0, np.float64))
+    gs_mask = np.atleast_2d(np.asarray(gs_mask, np.float64))
 
     cfg_r, groups, chunk_n, table, lbda_j, h_t, wind_speed, sharding = \
         _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
@@ -673,18 +703,44 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     order = np.concatenate(idxs)
     if not np.array_equal(order, np.arange(count)):
         fit = fit[jnp.asarray(np.argsort(order))]
-    psf_mean = jnp.sum(jnp.stack(psums), axis=0) / count
+    total_psum = jnp.sum(jnp.stack(psums), axis=0)
+    guard_vec = jnp.stack(guards)
+    if _return_parts:
+        # redo path: hand the device arrays back for the on-device mean
+        # correction; no pull, no mean fit (force_full => guards are +inf)
+        return fit, total_psum, guard_vec
+    psf_mean = total_psum / count
     fit_mean = fit_moffat_cube_packed(psf_mean, dtype=fit_dtype)
-    guard_min = jnp.min(jnp.stack(guards))
-    fit, psf_mean, fit_mean, guard_np = pull_packed(fit, psf_mean,
-                                                    fit_mean, guard_min)
-    # window-guard check, piggybacked on the single result pull
-    if float(guard_np) < 0.0:
-        logger.warning(
-            "OTF-support window guard tripped (margin %.2f); recomputing "
-            "the batch with the full window (same config, so the full "
-            "bucket's executable is reused)", float(guard_np))
-        return process_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin,
-                             cfg, chunk, mesh, fit_dtype, on_chunk,
-                             _force_full=True)
-    return fit, psf_mean, fit_mean
+    fit_np, psf_mean_np, fit_mean_np, guard_np = pull_packed(
+        fit, psf_mean, fit_mean, guard_vec)
+    # per-chunk window-guard check, piggybacked on the single result pull
+    tripped = np.nonzero(guard_np < 0.0)[0]
+    if tripped.size == 0:
+        return fit_np, psf_mean_np, fit_mean_np
+
+    # surgical redo: ONLY the tripped chunks' rows are recomputed with
+    # the full window (the ORIGINAL config's full-bucket executable is
+    # reused); the mean PSF is corrected on device by swapping those
+    # rows' contribution out of the already-accumulated sum
+    redo_idx = np.concatenate([idxs[i] for i in tripped])
+    logger.warning(
+        "OTF-support window guard tripped for %d of %d chunks (worst "
+        "margin %.2f); recomputing %d of %d rows with the full window",
+        tripped.size, guard_np.shape[0], float(guard_np.min()),
+        redo_idx.size, count)
+    on_chunk_redo = None
+    if on_chunk is not None:
+        def on_chunk_redo(local_idx, packed_np):
+            on_chunk(redo_idx[local_idx], packed_np)
+    fit_redo, psum_redo, _ = process_batch(
+        seeing[redo_idx], GL[redo_idx], L0[redo_idx], gs_mask[redo_idx],
+        lbda, h, npsflin, cfg, chunk, mesh, fit_dtype, on_chunk_redo,
+        _force_full=True, _return_parts=True)
+    old_sub = jnp.sum(jnp.stack([psums[i] for i in tripped]), axis=0)
+    psf_mean = (total_psum - old_sub + psum_redo) / count
+    fit_mean = fit_moffat_cube_packed(psf_mean, dtype=fit_dtype)
+    fit_redo_np, psf_mean_np, fit_mean_np = pull_packed(
+        fit_redo, psf_mean, fit_mean)
+    fit_np = np.array(fit_np)  # pull_packed views are read-only
+    fit_np[redo_idx] = fit_redo_np
+    return fit_np, psf_mean_np, fit_mean_np

@@ -111,6 +111,49 @@ def test_guard_redo_on_too_small_window():
     assert_allclose(a, b, rtol=0, atol=2e-6)
 
 
+def test_guard_redo_is_surgical():
+    """One guard-tripping row in a batch must re-run ONLY its own chunk
+    with the full window — not the whole night (process_batch used to
+    recompute every row on any trip).  Counted via on_chunk: the tripped
+    row's index is delivered twice (original + corrected), every other
+    row exactly once; all values and the corrected mean must match the
+    full-window run."""
+    from muse_psfr_tpu.parallel.batch import process_batch
+    lbda = np.array([930.0])
+    # row 2 is ultra-weak damping: its OTF support exceeds the forced
+    # 128-px window at dim=512 and trips the on-device guard
+    see = np.array([1.0, 1.3, 0.2, 1.1])
+    gl = np.array([0.7, 0.5, 0.01, 0.6])
+    l0 = np.array([25.0, 18.0, 30.0, 22.0])
+    mask = np.ones((4, 4))
+    cfg_small = CFG.with_(otf_support=128)
+
+    calls = []
+
+    def on_chunk(idx, packed):
+        calls.append((list(map(int, idx)), np.array(packed)))
+
+    fit, psf_mean, fit_mean = process_batch(see, gl, l0, mask, lbda,
+                                            cfg=cfg_small, chunk=1,
+                                            on_chunk=on_chunk)
+    counts = {}
+    for idx, _ in calls:
+        for j in idx:
+            counts[j] = counts.get(j, 0) + 1
+    assert counts == {0: 1, 1: 1, 2: 2, 3: 1}  # only row 2 redone
+    # the LAST delivery for row 2 carries the corrected (full-window) fit
+    last = {j: row for idx, packed in calls
+            for j, row in zip(idx, packed)}
+    assert_allclose(fit[2], last[2], rtol=0, atol=0)
+
+    fit_full, mean_full, fit_mean_full = process_batch(
+        see, gl, l0, mask, lbda, cfg=CFG.with_(otf_support=CFG.dim // 2),
+        chunk=1)
+    assert_allclose(fit, fit_full, rtol=0, atol=1e-4)
+    assert_allclose(psf_mean, mean_full, rtol=0, atol=2e-6)
+    assert_allclose(fit_mean, fit_mean_full, rtol=0, atol=1e-4)
+
+
 def test_process_batch_restores_input_order():
     """Bucketed dispatch reorders rows; packed fits must come back in
     input order, and on_chunk must receive the true row indices."""

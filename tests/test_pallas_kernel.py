@@ -72,11 +72,56 @@ def test_pallas_vmem_chunk_gate():
     dim=2048 full-window case would otherwise fail in Mosaic)."""
     from muse_psfr_tpu.config import GalacsiConfig
     from muse_psfr_tpu.otf.psf import _pallas_lambda_chunk
+    from muse_psfr_tpu.config import TINY_CONFIG
     cfg = GalacsiConfig()
-    # the known-fitting production case must keep its chunk of 7
-    assert _pallas_lambda_chunk(cfg, cfg.dim) >= cfg.lambda_chunk
+    # the known-fitting production case must keep EXACTLY its chunk of 7
+    # (a silent shrink would change the measured kernel shape)
+    assert cfg.lambda_chunk == 7
+    assert min(_pallas_lambda_chunk(cfg, cfg.dim), cfg.lambda_chunk) == 7
     # dim=2048 full window: must shrink but still fit at least one
+    # (RESULTS.md: the 2048^2 bench row runs the fused kernel at this
+    # reduced chunk, not the XLA fallback)
     k2 = _pallas_lambda_chunk(GalacsiConfig(dim=2048), 2048)
     assert 1 <= k2 < 7
-    # reduced windows leave plenty of room
-    assert _pallas_lambda_chunk(cfg, 512) >= 7
+    # dim=2048 with its default reduced window (bucket 512 -> 1024 rows)
+    assert _pallas_lambda_chunk(GalacsiConfig(dim=2048), 1024) >= 7
+    # dim=512 and TINY: full budget headroom at any window
+    assert _pallas_lambda_chunk(GalacsiConfig(dim=512, dim_pup=24,
+                                              dimpsf=12), 512) >= 7
+    assert _pallas_lambda_chunk(TINY_CONFIG, TINY_CONFIG.dim) >= 7
+    # a grid too large for even one wavelength reports 0 (callers then
+    # take the XLA zoom path instead of crashing in Mosaic)
+    assert _pallas_lambda_chunk(GalacsiConfig(dim=8192), 8192) == 0
+
+
+def test_pallas_gate_fallback_activates(monkeypatch):
+    """When the VMEM gate reports 0, ``psf_cube_from_base`` must fall
+    back to the XLA zoom path — the Pallas kernel must NOT be invoked —
+    and still produce the correct PSF."""
+    import jax
+    from muse_psfr_tpu.config import TINY_CONFIG
+    from muse_psfr_tpu.otf import psf as psfmod
+    from muse_psfr_tpu.psd.model import simulate_psd, effective_wind_speed
+
+    # unique static key so the patched call is really re-traced (a cfg
+    # already compiled by another test would silently reuse its cache)
+    cfg = TINY_CONFIG.with_(lambda_chunk=5)
+    h = (100, 10000)
+    ws = effective_wind_speed(h, cfg)
+    psd = simulate_psd(1.0, 0.7, 25.0, jnp.ones(4, cfg.dtype), h, ws, 1,
+                       cfg)
+    base = psfmod.dphi_base(psd.astype(cfg.dtype), cfg)
+    lb = jnp.asarray([700.0, 900.0], cfg.dtype)
+    want = np.asarray(psfmod.psf_cube_from_base(base, lb, cfg))
+
+    def boom(*a, **k):
+        raise AssertionError("Pallas kernel invoked despite gate=0")
+
+    # pretend we are on a TPU backend (trace-time branch only; the
+    # compile still targets the CPU test backend) with a zero budget
+    monkeypatch.setattr(psfmod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(psfmod, "_pallas_lambda_chunk", lambda *a: 0)
+    monkeypatch.setattr(psfmod, "_psf_chunk_pallas", boom)
+    cfg2 = cfg.with_(lambda_chunk=4)     # fresh key -> fresh trace
+    got = np.asarray(psfmod.psf_cube_from_base(base, lb, cfg2))
+    assert_allclose(got, want, rtol=0, atol=1e-6)

@@ -71,6 +71,87 @@ def test_production_shape_lowers_under_mesh():
     assert "mhlo.num_partitions = 8" in header
 
 
+def test_mesh_executes_production_path_dim512():
+    """EXECUTE (not just lower) the full production code path — dphi
+    split + point-symmetry fold + OTF-support window, bucketed dispatch
+    — under the 8-device mesh at dim=512, and require parity with the
+    single-device result.  Complements
+    :func:`test_production_shape_lowers_under_mesh`, which checks only
+    the partitioning metadata at dim=1280."""
+    from muse_psfr_tpu.parallel.batch import (process_batch,
+                                              rows_windowable,
+                                              default_support_bucket)
+    from tests.test_otf_support import CFG  # dim=512 production-like cfg
+
+    lbda = np.array([930.0])
+    # mixed buckets: windowable and full-window rows in one batch
+    see = np.array([1.0, 0.2, 1.3, 0.25, 1.1, 0.22, 1.2, 0.3])
+    gl = np.array([0.7, 0.01, 0.5, 0.02, 0.6, 0.015, 0.65, 0.03])
+    l0 = np.array([25.0, 30.0, 18.0, 29.0, 22.0, 28.0, 24.0, 27.0])
+    mask = np.ones((8, 4))
+    ok = rows_windowable(see, gl, l0, mask, 930.0, CFG,
+                         default_support_bucket(CFG))
+    assert ok.any() and (~ok).any()          # both buckets engaged
+
+    fit_s, mean_s, fitm_s = process_batch(see, gl, l0, mask, lbda,
+                                          cfg=CFG, chunk=8)
+    fit_m, mean_m, fitm_m = process_batch(see, gl, l0, mask, lbda,
+                                          cfg=CFG, chunk=8,
+                                          mesh=default_mesh())
+    assert_allclose(fit_m, fit_s, rtol=0, atol=1e-4)
+    assert_allclose(mean_m, mean_s, rtol=0, atol=1e-6)
+    assert_allclose(fitm_m, fitm_s, rtol=0, atol=1e-4)
+
+
+def test_init_multihost_two_process_cpu(tmp_path):
+    """2-process ``jax.distributed`` smoke test of ``init_multihost`` on
+    the CPU backend (DCN analog of the reference's joblib concurrency,
+    psfrec.py:1082-1083): both processes must see the 4-device global
+    mesh and agree on a cross-process collective."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:                 # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = tmp_path / "mh_worker.py"
+    worker.write_text(
+        "import sys, os\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from muse_psfr_tpu.parallel.mesh import init_multihost\n"
+        "import numpy as np\n"
+        "import jax.numpy as jnp\n"
+        "from jax.sharding import NamedSharding, PartitionSpec as P\n"
+        f"mesh = init_multihost('localhost:{port}', 2, int(sys.argv[1]))\n"
+        "assert len(jax.devices()) == 4, jax.devices()\n"
+        "assert len(jax.local_devices()) == 2\n"
+        "nloc = len(jax.local_devices())\n"
+        "x = jax.make_array_from_process_local_data(\n"
+        "    NamedSharding(mesh, P('rows')),\n"
+        "    np.full((nloc,), 1.0 + int(sys.argv[1])))\n"
+        "tot = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(x)\n"
+        "assert float(tot) == 6.0, float(tot)\n"   # 2*1 + 2*2
+        "print('MULTIHOST_OK', int(sys.argv[1]))\n")
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen([sys.executable, str(worker), str(i)],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = [p.communicate(timeout=180)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert f"MULTIHOST_OK {i}" in out
+
+
 def test_compute_psf_from_sparta_with_mesh():
     """The top-level API shards its batch over a mesh."""
     import numpy as np

@@ -85,3 +85,29 @@ def test_moffat_fit_pathological_planes_flagged():
     assert np.isfinite(f["fwhm"][0]).all()
     np.testing.assert_array_equal(f["fwhm"][0], f["fwhm"][3])
     np.testing.assert_allclose(f["n"][0], 2.4, atol=1e-4)
+    # the packed convergence flag mirrors the NaN flagging explicitly
+    # (the analog of the reference's scipy-leastsq status)
+    np.testing.assert_array_equal(f["ok"], [True, False, False, True])
+
+
+def test_host64_refit_warns_and_degrades_without_scoped_x64(monkeypatch,
+                                                            caplog):
+    """If a future jax drops the scoped-x64 context manager, the FIT_MEAN
+    float64 refit must fall back to float32 WITH a logged warning — never
+    silently (the round-2 fallback was silent)."""
+    import logging
+    import jax
+    from muse_psfr_tpu.fit.moffat_fit import fit_moffat_cube_host64
+
+    yy, xx = np.mgrid[:40, :40]
+    good = 3.0 * (1 + ((yy - 20.3) ** 2 + (xx - 19.6) ** 2) / 16.0) ** -2.4
+    cube = good[None]
+
+    def broken(*a, **k):
+        raise AttributeError("no scoped x64 in this jax")
+
+    monkeypatch.setattr(jax, "enable_x64", broken)
+    with caplog.at_level(logging.WARNING, logger="muse_psfr.fit"):
+        f = fit_moffat_cube_host64(cube)
+    assert any("scoped x64" in r.message for r in caplog.records)
+    np.testing.assert_allclose(f["n"][0], 2.4, atol=1e-4)  # f32 fallback
