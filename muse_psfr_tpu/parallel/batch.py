@@ -13,6 +13,7 @@ program; the batch axis is
   cubes, so scaling is linear.
 """
 
+import os
 from functools import partial
 
 import numpy as np
@@ -645,6 +646,8 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                     chunk, mesh, _force_full)
 
     fits, idxs, psums, guards = [], [], [], []
+    group_marks = []       # len(fits) at each completed group boundary
+    early = {}             # group number -> device concat already copying
     count = 0
     for gcfg, gidx in groups:
         gb = gidx.shape[0]
@@ -697,22 +700,52 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                     on_chunk(idxs[-1], np.asarray(fits[-1]))
                 count += n
 
-    fit = jnp.concatenate(fits, axis=0) if len(fits) > 1 else fits[0]
-    # the bucketed dispatch reorders rows: restore input order with one
-    # device-side gather
-    order = np.concatenate(idxs)
-    if not np.array_equal(order, np.arange(count)):
-        fit = fit[jnp.asarray(np.argsort(order))]
+        # pull-tail overlap: start the device->host copy of this group's
+        # packed fits NOW, so the transfer rides under the next group's
+        # compute (the tunneled link is latency-bound, ~37 ms per pull,
+        # but transfers of ready data overlap device compute); the final
+        # pull then only carries the last group + the small mean arrays
+        group_marks.append(len(fits))
+        if (not _return_parts and len(group_marks) < len(groups)
+                and not os.environ.get("MUSE_PSFR_NO_OVERLAP")):
+            s = 0 if len(group_marks) == 1 else group_marks[-2]
+            gf = (jnp.concatenate(fits[s:], axis=0)
+                  if len(fits) - s > 1 else fits[s])
+            early[len(group_marks) - 1] = gf
+            try:
+                gf.copy_to_host_async()
+            except Exception:  # noqa: BLE001 - plain sync pull later
+                pass
+
     total_psum = jnp.sum(jnp.stack(psums), axis=0)
     guard_vec = jnp.stack(guards)
+    order = np.concatenate(idxs)
+    in_order = np.array_equal(order, np.arange(count))
     if _return_parts:
         # redo path: hand the device arrays back for the on-device mean
         # correction; no pull, no mean fit (force_full => guards are +inf)
+        fit = jnp.concatenate(fits, axis=0) if len(fits) > 1 else fits[0]
+        if not in_order:
+            fit = fit[jnp.asarray(np.argsort(order))]
         return fit, total_psum, guard_vec
     psf_mean = total_psum / count
     fit_mean = fit_moffat_cube_packed(psf_mean, dtype=fit_dtype)
-    fit_np, psf_mean_np, fit_mean_np, guard_np = pull_packed(
-        fit, psf_mean, fit_mean, guard_vec)
+    # when the overlap is active, `early` holds every non-final group
+    # (already copying); the final pull then carries only the last
+    # group.  Otherwise (single group, or overlap disabled) everything
+    # rides the one packed pull, as in the pre-overlap layout.
+    s = group_marks[-2] if early else 0
+    last_f = (jnp.concatenate(fits[s:], axis=0)
+              if len(fits) - s > 1 else fits[s])
+    last_np, psf_mean_np, fit_mean_np, guard_np = pull_packed(
+        last_f, psf_mean, fit_mean, guard_vec)
+    parts = [np.asarray(early[g]) for g in sorted(early)]
+    fit_np = (np.concatenate(parts + [last_np], axis=0) if parts
+              else last_np)
+    # the bucketed dispatch reorders rows: restore input order (on the
+    # host - the data is already here)
+    if not in_order:
+        fit_np = fit_np[np.argsort(order)]
     # per-chunk window-guard check, piggybacked on the single result pull
     tripped = np.nonzero(guard_np < 0.0)[0]
     if tripped.size == 0:
