@@ -79,11 +79,13 @@ def test_pallas_vmem_chunk_gate():
     assert cfg.lambda_chunk == 7
     assert min(_pallas_lambda_chunk(cfg, cfg.dim), cfg.lambda_chunk) == 7
     # dim=2048 full window: must shrink but still fit at least one
-    # (RESULTS.md: the 2048^2 bench row runs the fused kernel at this
-    # reduced chunk, not the XLA fallback)
     k2 = _pallas_lambda_chunk(GalacsiConfig(dim=2048), 2048)
     assert 1 <= k2 < 7
-    # dim=2048 with its default reduced window (bucket 512 -> 1024 rows)
+    # dim=2048 with its default reduced window (bucket 512 -> 1024 rows):
+    # full chunk.  The 2048^2 bench row (seeing 1.0, GL 0.7, L0 25) is
+    # windowable at this bucket, so it runs the fused kernel at the full
+    # chunk of 7 — neither the shrunk chunk nor the XLA fallback
+    # (RESULTS.md note).
     assert _pallas_lambda_chunk(GalacsiConfig(dim=2048), 1024) >= 7
     # dim=512 and TINY: full budget headroom at any window
     assert _pallas_lambda_chunk(GalacsiConfig(dim=512, dim_pup=24,
