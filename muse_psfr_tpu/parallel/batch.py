@@ -605,11 +605,14 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     per-item per-wavelength packed Moffat parameters (B, nl, N_PACKED)
     (see :data:`muse_psfr_tpu.fit.moffat_fit.PACKED_FIELDS`), the
     (nl, dimpsf, dimpsf) mean PSF cube, and its packed fit.  Only these
-    small arrays ever cross the device->host link, in ONE packed
-    transfer together with the per-chunk window guards (the link is
-    latency-bound on tunneled TPUs, ~37 ms per pull); the
-    (B, nl, dimpsf, dimpsf) PSF cubes never leave the device.  Unpack
-    with :func:`muse_psfr_tpu.fit.moffat_fit.unpack_fit`.
+    small arrays ever cross the device->host link (latency-bound on
+    tunneled TPUs, ~37 ms per pull): every ``MUSE_PSFR_PULL_PART``
+    (default 8) chunks the accumulated packed fits start an async
+    device->host copy that overlaps later compute, and one final packed
+    transfer carries the remainder, the mean arrays, and the per-chunk
+    window guards; the (B, nl, dimpsf, dimpsf) PSF cubes never leave
+    the device.  Unpack with
+    :func:`muse_psfr_tpu.fit.moffat_fit.unpack_fit`.
 
     When the OTF-support window guard trips, ONLY the rows of the
     tripped chunks are recomputed with the full window (the per-chunk
@@ -646,8 +649,30 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                     chunk, mesh, _force_full)
 
     fits, idxs, psums, guards = [], [], [], []
-    group_marks = []       # len(fits) at each completed group boundary
-    early = {}             # group number -> device concat already copying
+    parts = []             # device concats already copying to the host
+    part_start = 0         # fits index where the unpulled remainder begins
+    # pull-tail overlap: every `part_n` chunks the accumulated packed
+    # fits start a device->host copy (copy_to_host_async) while later
+    # chunks compute, so the transfer rides under tail compute and the
+    # final pull carries only the remainder + the small mean arrays.
+    # Measured 1.08-1.10x on the 1000-row steady state vs the single
+    # final pull (benchmarks/measure_pull_overlap.py); disable with
+    # MUSE_PSFR_NO_OVERLAP=1, tune with MUSE_PSFR_PULL_PART (chunks).
+    part_n = 0 if (_return_parts or os.environ.get("MUSE_PSFR_NO_OVERLAP")) \
+        else int(os.environ.get("MUSE_PSFR_PULL_PART", "8"))
+
+    def _maybe_part():
+        nonlocal part_start
+        if part_n > 0 and len(fits) - part_start >= part_n:
+            gf = (jnp.concatenate(fits[part_start:], axis=0)
+                  if len(fits) - part_start > 1 else fits[part_start])
+            try:
+                gf.copy_to_host_async()
+            except Exception:  # noqa: BLE001 - plain sync pull later
+                pass
+            parts.append(gf)
+            part_start = len(fits)
+
     count = 0
     for gcfg, gidx in groups:
         gb = gidx.shape[0]
@@ -678,6 +703,7 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                 idxs.append(gidx[i * chunk_n:i * chunk_n + n])
                 psums.append(psum)
                 guards.append(guard)
+                _maybe_part()
                 if on_chunk is not None:
                     on_chunk(idxs[-1], np.asarray(fits[-1]))
                 count += n
@@ -696,26 +722,10 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                 idxs.append(gidx[i * chunk_n:i * chunk_n + n])
                 psums.append(psum)
                 guards.append(guard)
+                _maybe_part()
                 if on_chunk is not None:
                     on_chunk(idxs[-1], np.asarray(fits[-1]))
                 count += n
-
-        # pull-tail overlap: start the device->host copy of this group's
-        # packed fits NOW, so the transfer rides under the next group's
-        # compute (the tunneled link is latency-bound, ~37 ms per pull,
-        # but transfers of ready data overlap device compute); the final
-        # pull then only carries the last group + the small mean arrays
-        group_marks.append(len(fits))
-        if (not _return_parts and len(group_marks) < len(groups)
-                and not os.environ.get("MUSE_PSFR_NO_OVERLAP")):
-            s = 0 if len(group_marks) == 1 else group_marks[-2]
-            gf = (jnp.concatenate(fits[s:], axis=0)
-                  if len(fits) - s > 1 else fits[s])
-            early[len(group_marks) - 1] = gf
-            try:
-                gf.copy_to_host_async()
-            except Exception:  # noqa: BLE001 - plain sync pull later
-                pass
 
     total_psum = jnp.sum(jnp.stack(psums), axis=0)
     guard_vec = jnp.stack(guards)
@@ -730,18 +740,20 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
         return fit, total_psum, guard_vec
     psf_mean = total_psum / count
     fit_mean = fit_moffat_cube_packed(psf_mean, dtype=fit_dtype)
-    # when the overlap is active, `early` holds every non-final group
-    # (already copying); the final pull then carries only the last
-    # group.  Otherwise (single group, or overlap disabled) everything
-    # rides the one packed pull, as in the pre-overlap layout.
-    s = group_marks[-2] if early else 0
-    last_f = (jnp.concatenate(fits[s:], axis=0)
-              if len(fits) - s > 1 else fits[s])
-    last_np, psf_mean_np, fit_mean_np, guard_np = pull_packed(
-        last_f, psf_mean, fit_mean, guard_vec)
-    parts = [np.asarray(early[g]) for g in sorted(early)]
-    fit_np = (np.concatenate(parts + [last_np], axis=0) if parts
-              else last_np)
+    # `parts` are already on their way to the host; the final packed
+    # pull carries only the remainder + the mean arrays + the guards
+    rem = fits[part_start:]
+    if rem:
+        last_f = jnp.concatenate(rem, axis=0) if len(rem) > 1 else rem[0]
+        last_np, psf_mean_np, fit_mean_np, guard_np = pull_packed(
+            last_f, psf_mean, fit_mean, guard_vec)
+        part_np = [np.asarray(p) for p in parts] + [last_np]
+    else:
+        psf_mean_np, fit_mean_np, guard_np = pull_packed(
+            psf_mean, fit_mean, guard_vec)
+        part_np = [np.asarray(p) for p in parts]
+    fit_np = (np.concatenate(part_np, axis=0) if len(part_np) > 1
+              else part_np[0])
     # the bucketed dispatch reorders rows: restore input order (on the
     # host - the data is already here)
     if not in_order:
