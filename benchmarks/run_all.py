@@ -104,12 +104,14 @@ def main():
                      % (name, n, t, n / t, (n / t) / base["rows_per_sec"]))
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "RESULTS.md")
-    # keep the manually curated historical tables (everything from the
-    # first "## Historical" heading on)
+    # keep the manually curated notes + historical tables (everything
+    # from the notes marker on; fall back to the first "## Historical")
     history = ""
     if os.path.exists(out):
         old = open(out).read()
-        idx = old.find("## Historical")
+        idx = old.find("<!-- MANUAL NOTES -->")
+        if idx < 0:
+            idx = old.find("## Historical")
         if idx >= 0:
             history = "\n" + old[idx:]
     with open(out, "w") as fh:

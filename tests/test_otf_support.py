@@ -111,6 +111,36 @@ def test_guard_redo_on_too_small_window():
     assert_allclose(a, b, rtol=0, atol=2e-6)
 
 
+def test_pull_overlap_part_paths_match(monkeypatch):
+    """The async pull-tail overlap must be value-neutral: part size 1
+    (every chunk becomes a part, final pull carries NO fits — the
+    empty-remainder branch), the default, and the disabled overlap all
+    return identical results."""
+    from muse_psfr_tpu.config import TINY_CONFIG
+    from muse_psfr_tpu.parallel.batch import process_batch
+    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
+    lbda = np.array([700.0, 900.0])
+    see = np.array([1.0, 1.2, 0.9, 1.1])
+    gl = np.array([0.7, 0.5, 0.6, 0.4])
+    l0 = np.array([25.0, 18.0, 22.0, 20.0])
+    mask = np.ones((4, 4))
+
+    def run():
+        return process_batch(see, gl, l0, mask, lbda, cfg=cfg, chunk=1)
+
+    monkeypatch.delenv("MUSE_PSFR_NO_OVERLAP", raising=False)
+    monkeypatch.setenv("MUSE_PSFR_PULL_PART", "1")
+    a = run()                       # all parts, empty remainder
+    monkeypatch.delenv("MUSE_PSFR_PULL_PART")
+    b = run()                       # default part size (no parts at B=4)
+    monkeypatch.setenv("MUSE_PSFR_NO_OVERLAP", "1")
+    c = run()                       # overlap disabled
+    for x, y in zip(a, b):
+        assert_allclose(x, y, rtol=0, atol=0)
+    for x, y in zip(a, c):
+        assert_allclose(x, y, rtol=0, atol=0)
+
+
 def test_guard_redo_is_surgical():
     """One guard-tripping row in a batch must re-run ONLY its own chunk
     with the full window — not the whole night (process_batch used to
