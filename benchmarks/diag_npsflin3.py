@@ -71,6 +71,10 @@ def main():
     for name, sel, gcfg in (
             ("windowed", okw, cfg.with_(otf_support=default_support_bucket(cfg))),
             ("full", ~okw, cfg)):
+        if not sel.any():
+            print(json.dumps({name: "empty bucket, skipped"}), flush=True)
+            res[name] = {"s_per_chunk": 0.0, "ms_per_row": 0.0}
+            continue
         rows = table[sel][:CHUNK]
         if rows.shape[0] < CHUNK:
             rows = np.concatenate(

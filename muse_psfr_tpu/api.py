@@ -60,8 +60,11 @@ def fit_table_from_arrays(lbda, fit, pixscale=0.2):
     FWHM converted px -> arcsec (reference psfrec.py:868-869).  When the
     fit dict carries the per-plane ``ok`` convergence flag (see
     :data:`muse_psfr_tpu.fit.moffat_fit.PACKED_FIELDS`) it is appended
-    as an extra integer column — the analog of the scipy-leastsq status
-    the reference's mpdaf fit would expose (psfrec.py:861-871).
+    as an extra float column (1.0/0.0) — an ADDITIVE extension of the
+    reference's table layout, the analog of the scipy-leastsq status
+    the reference's mpdaf fit computes but does not surface
+    (psfrec.py:861-871).  All reference columns keep their names and
+    order; consumers indexing columns by name are unaffected.
     """
     t = FitTable()
     t["lbda"] = np.asarray(lbda, float)

@@ -190,7 +190,12 @@ def _lm_solve(img, yy, xx):
     inv_cols = _chol_inverse(jtj)
     dof = data.shape[0] - N_PARAMS
     var = jnp.stack([inv_cols[k][k] for k in range(N_PARAMS)]) * (c / dof)
-    ok = (acc & jnp.all(jnp.isfinite(p)) & jnp.all(jnp.isfinite(var)))
+    # converged = finite solution with meaningful error bars AND either
+    # an accepted improving step or an already-(numerically-)optimal
+    # initial guess (relative SSR below rounding) — a degenerate plane
+    # fails all of these (NaN steps are rejected, its Gram is non-SPD)
+    solved = acc | (c < 1e-12 * jnp.sum(data * data))
+    ok = (solved & jnp.all(jnp.isfinite(p)) & jnp.all(jnp.isfinite(var)))
     return p, var, ok.astype(dtype)
 
 
@@ -233,9 +238,26 @@ def fit_moffat_cube_packed(cube, dtype: str = "float32"):
 
 def unpack_fit(packed):
     """Packed fit array (host or device) -> dict of numpy arrays with the
-    reference's column shapes (center/fwhm as 2-vectors)."""
+    reference's column shapes (center/fwhm as 2-vectors).
+
+    Accepts both the current ``N_PACKED``-wide layout and the pre-1.5
+    12-field layout without the ``ok`` flag (e.g. ``condition_sweep``
+    checkpoint ``.npy`` files written by older versions) — the ``ok``
+    key is then reported all-True."""
     packed = np.asarray(packed)
-    f = {name: packed[..., k] for k, name in enumerate(PACKED_FIELDS)}
+    width = packed.shape[-1]
+    if width == N_PACKED:
+        fields = PACKED_FIELDS
+    elif width == N_PACKED - 1:          # pre-1.5 checkpoint without 'ok'
+        fields = PACKED_FIELDS[:-1]
+    else:
+        raise ValueError(
+            f"packed fit array has {width} fields; expected {N_PACKED} "
+            f"(or {N_PACKED - 1} for pre-1.5 data) laid out per "
+            "muse_psfr_tpu.fit.moffat_fit.PACKED_FIELDS")
+    f = {name: packed[..., k] for k, name in enumerate(fields)}
+    if "ok" not in f:
+        f["ok"] = np.ones(packed.shape[:-1], packed.dtype)
     dup = lambda a, b: np.stack([a, b], axis=-1)  # noqa: E731
     return {
         "center": dup(f["cy"], f["cx"]),

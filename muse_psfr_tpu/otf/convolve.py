@@ -5,11 +5,13 @@ cube is convolved with (a) a beta=2 Moffat modelling residual tip-tilt from
 the uncorrected high layer, its width set by the outer-scale attenuation
 table (coeffL0), and (b) the per-wavelength MUSE-intrinsic Moffat.
 
-Both are 'same'-mode linear convolutions of a (dimpsf, dimpsf) plane with an
-odd (dimpsf+1, dimpsf+1) kernel; with these sizes a circular convolution at
-size ``2*dimpsf`` is exactly linear (dimpsf + dimpsf+1 - 1 = 2*dimpsf), so
-we use one rFFT per plane pair and crop the 'same' window — identical
-numbers to the reference's ``scipy.signal.fftconvolve(mode='same')``.
+Both are 'same'-mode linear convolutions of a (dimpsf, dimpsf) plane with
+an odd (dimpsf+1, dimpsf+1) kernel, done as circular transforms at the
+minimal alias-free size (:func:`_same_fft_size`): the circular wrap lands
+entirely outside the kept 'same' window, so the crop is EXACTLY the
+linear-convolution result — identical numbers to the reference's
+``scipy.signal.fftconvolve(mode='same')`` at 0.75x the transform size
+(64 instead of 80 at production dimpsf=40).
 """
 
 from functools import partial
@@ -82,10 +84,11 @@ def _dft_convolve_same(planes, kernels, n_img: int, n_ker: int,
     """'same' linear convolution via circular DFTs as real MXU matmuls.
 
     Bit-path for FFT-free backends: identical maths to
-    :func:`_fft_convolve_same` (nfft = n_img + n_ker - 1 makes the circular
-    product exactly linear) with every transform expressed as dense
-    (nfft, nfft) matmuls — MXU work, where a grouped direct convolution
-    (contraction size 1 per group) leaves the systolic array idle.
+    :func:`_fft_convolve_same` (circular product at the minimal
+    alias-free size, exact on the 'same' window) with every transform
+    expressed as dense (nfft, nfft) matmuls — MXU work, where a grouped
+    direct convolution (contraction size 1 per group) leaves the
+    systolic array idle.
 
     With W symmetric, F = W X W splits into 6 real matmuls per transform;
     the inverse needs only the real part of the output, 6 more.

@@ -372,6 +372,15 @@ def estimate_otf_support(seeing, GL, L0, gs_mask, lbda_max_nm, cfg,
     return 0
 
 
+def clamped_chunk(chunk: int, B: int, mesh: Mesh = None) -> int:
+    """The chunk size the batch layer actually dispatches: clamped to the
+    batch, at least the mesh size, rounded up to a mesh-size multiple.
+    This (together with the config statics) is the compilation key."""
+    n_dev = 1 if mesh is None else mesh.size
+    c = max(min(chunk, B), n_dev)
+    return ((c + n_dev - 1) // n_dev) * n_dev
+
+
 def _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg, chunk,
                 mesh, force_full=False):
     """Shared batch planning: validate, resolve the config against the
@@ -448,9 +457,14 @@ def _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg, chunk,
                         sub = [(cfg_w, rest[okw]), (cfg, rest[~okw])]
             groups += sub
 
-    n_dev = 1 if mesh is None else mesh.size
-    chunk = max(min(chunk, B), n_dev)
-    chunk = ((chunk + n_dev - 1) // n_dev) * n_dev
+    # clamp the chunk to the batch (smaller nights would pad pointlessly)
+    # — EXCEPT on the guard-redo path: the redo subset is usually smaller
+    # than one chunk, and shrinking would trace a fresh (B, 7) static
+    # shape, i.e. a multi-minute recompile; the redo call sites pass the
+    # ORIGINAL batch's clamped chunk so its executables are reused
+    # (padding is cheap there)
+    chunk = clamped_chunk(chunk, B, mesh) if not force_full \
+        else clamped_chunk(chunk, chunk, mesh)
 
     sharding = None
     if mesh is not None:
@@ -567,7 +581,8 @@ def reconstruct_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                 float(guard_np), len(idx))
             out[idx] = reconstruct_batch(
                 seeing[idx], GL[idx], L0[idx], gs_mask[idx], lbda, h,
-                npsflin, cfg, chunk, mesh, _force_full=True)
+                npsflin, cfg, clamped_chunk(chunk, seeing.shape[0], mesh),
+                mesh, _force_full=True)
         else:
             out[idx] = psf_np[:len(idx)]
     return out
@@ -779,7 +794,7 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
             on_chunk(redo_idx[local_idx], packed_np)
     fit_redo, psum_redo, _ = process_batch(
         seeing[redo_idx], GL[redo_idx], L0[redo_idx], gs_mask[redo_idx],
-        lbda, h, npsflin, cfg, chunk, mesh, fit_dtype, on_chunk_redo,
+        lbda, h, npsflin, cfg, chunk_n, mesh, fit_dtype, on_chunk_redo,
         _force_full=True, _return_parts=True)
     old_sub = jnp.sum(jnp.stack([psums[i] for i in tripped]), axis=0)
     psf_mean = (total_psum - old_sub + psum_redo) / count

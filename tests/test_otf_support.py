@@ -111,6 +111,40 @@ def test_guard_redo_on_too_small_window():
     assert_allclose(a, b, rtol=0, atol=2e-6)
 
 
+def test_guard_redo_keeps_the_original_chunk():
+    """The guard-redo path must NOT shrink the chunk to the (small) redo
+    subset — that would trace a fresh (B, 7) static shape, i.e. a
+    multi-minute recompile on this deployment.  _plan_batch keeps the
+    caller's chunk under force_full; redo call sites pass the original
+    clamped chunk."""
+    import numpy as _np
+    from muse_psfr_tpu.parallel.batch import _plan_batch, clamped_chunk
+    args = ([1.0, 1.1], [0.7, 0.6], [25.0, 24.0], _np.ones((2, 4)),
+            [800.0], (100, 10000), 1, CFG)
+    # normal path: clamp to the batch
+    assert _plan_batch(*args, 25, None)[2] == 2
+    # redo path: the caller's chunk (the original executable's key) wins
+    assert _plan_batch(*args, 25, None, force_full=True)[2] == 25
+    assert clamped_chunk(25, 2) == 2
+    assert clamped_chunk(25, 100) == 25
+
+
+def test_unpack_fit_accepts_pre15_width():
+    """12-field packed arrays (pre-1.5 checkpoints, no `ok` flag) must
+    unpack with an all-True ok; other widths raise with a clear error."""
+    import pytest
+    from muse_psfr_tpu.fit.moffat_fit import unpack_fit, N_PACKED
+    new = np.arange(2 * N_PACKED, dtype=np.float64).reshape(2, N_PACKED)
+    old = new[:, :N_PACKED - 1]
+    a, b = unpack_fit(new), unpack_fit(old)
+    assert set(a) == set(b)              # same keys either way
+    assert_allclose(b["n"], a["n"])
+    assert_allclose(b["flux"], a["flux"])
+    assert b["ok"].all()
+    with pytest.raises(ValueError, match="fields"):
+        unpack_fit(np.zeros((2, 7)))
+
+
 def test_pull_overlap_part_paths_match(monkeypatch):
     """The async pull-tail overlap must be value-neutral: part size 1
     (every chunk becomes a part, final pull carries NO fits — the

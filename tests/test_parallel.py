@@ -93,8 +93,11 @@ def test_mesh_executes_production_path_dim512():
                          default_support_bucket(CFG))
     assert ok.any() and (~ok).any()          # both buckets engaged
 
+    # chunk=1 on the single-device side: its two bucket executables are
+    # shared with tests/test_otf_support.py (same cfg statics), so only
+    # the mesh-sharded variants compile here
     fit_s, mean_s, fitm_s = process_batch(see, gl, l0, mask, lbda,
-                                          cfg=CFG, chunk=8)
+                                          cfg=CFG, chunk=1)
     fit_m, mean_m, fitm_m = process_batch(see, gl, l0, mask, lbda,
                                           cfg=CFG, chunk=8,
                                           mesh=default_mesh())
