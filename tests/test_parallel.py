@@ -106,6 +106,41 @@ def test_mesh_executes_production_path_dim512():
     assert_allclose(fitm_m, fitm_s, rtol=0, atol=1e-4)
 
 
+def test_guard_redo_is_surgical_under_mesh():
+    """The window-guard redo path must also work when the batch is
+    sharded over a mesh: only the tripped chunk's rows are redone (with
+    the mesh passed through), and the corrected mean matches the
+    single-device result."""
+    import numpy as np
+    from numpy.testing import assert_allclose
+    from muse_psfr_tpu.parallel.batch import process_batch
+    from tests.test_otf_support import CFG
+
+    lbda = np.array([930.0])
+    # row 3 is ultra-weak damping: trips the forced 128-px window
+    see = np.array([1.0, 1.3, 1.1, 0.2])
+    gl = np.array([0.7, 0.5, 0.6, 0.01])
+    l0 = np.array([25.0, 18.0, 22.0, 30.0])
+    mask = np.ones((4, 4))
+    cfg_small = CFG.with_(otf_support=128)
+    mesh2 = default_mesh(jax.devices()[:2])      # chunk -> 2 rows/chunk
+
+    calls = []
+    fit_m, mean_m, fitm_m = process_batch(
+        see, gl, l0, mask, lbda, cfg=cfg_small, chunk=2, mesh=mesh2,
+        on_chunk=lambda idx, p: calls.append(list(map(int, idx))))
+    counts = {}
+    for idx in calls:
+        for j in idx:
+            counts[j] = counts.get(j, 0) + 1
+    assert counts == {0: 1, 1: 1, 2: 2, 3: 2}    # only chunk (2,3) redone
+
+    fit_s, mean_s, fitm_s = process_batch(see, gl, l0, mask, lbda,
+                                          cfg=cfg_small, chunk=2)
+    assert_allclose(fit_m, fit_s, rtol=0, atol=1e-4)
+    assert_allclose(mean_m, mean_s, rtol=0, atol=2e-6)
+
+
 def test_init_multihost_two_process_cpu(tmp_path):
     """2-process ``jax.distributed`` smoke test of ``init_multihost`` on
     the CPU backend (DCN analog of the reference's joblib concurrency,
