@@ -622,7 +622,8 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     (nl, dimpsf, dimpsf) mean PSF cube, and its packed fit.  Only these
     small arrays ever cross the device->host link (latency-bound on
     tunneled TPUs, ~37 ms per pull): every ``MUSE_PSFR_PULL_PART``
-    (default 8) chunks the accumulated packed fits start an async
+    chunks (default: half the night's chunks, capped to [2, 8]; single
+    pull under 4 chunks) the accumulated packed fits start an async
     device->host copy that overlaps later compute, and one final packed
     transfer carries the remainder, the mean arrays, and the per-chunk
     window guards; the (B, nl, dimpsf, dimpsf) PSF cubes never leave
@@ -670,11 +671,17 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     # fits start a device->host copy (copy_to_host_async) while later
     # chunks compute, so the transfer rides under tail compute and the
     # final pull carries only the remainder + the small mean arrays.
-    # Measured 1.08-1.10x on the 1000-row steady state vs the single
+    # Measured 1.08-1.14x on the 1000-row steady state vs the single
     # final pull (benchmarks/measure_pull_overlap.py); disable with
     # MUSE_PSFR_NO_OVERLAP=1, tune with MUSE_PSFR_PULL_PART (chunks).
+    # Default: half the night's chunks, capped to [2, 8]; nights under
+    # 4 chunks keep the single minimum-latency pull.
+    total_chunks = sum((gidx.shape[0] + chunk_n - 1) // chunk_n
+                       for _, gidx in groups)
+    default_part = (max(2, min(8, total_chunks // 2))
+                    if total_chunks >= 4 else 0)
     part_n = 0 if (_return_parts or os.environ.get("MUSE_PSFR_NO_OVERLAP")) \
-        else int(os.environ.get("MUSE_PSFR_PULL_PART", "8"))
+        else int(os.environ.get("MUSE_PSFR_PULL_PART", default_part))
 
     def _maybe_part():
         nonlocal part_start
