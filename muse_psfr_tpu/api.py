@@ -108,7 +108,7 @@ def compute_psf(lbda, seeing, GL, L0, npsflin=1, h=(100, 10000),
 def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
                     lmax=930, nl=35, npsflin=1, h=(100, 10000),
                     three_lgs_mode=False, cfg=DEFAULT_CONFIG, chunk=32,
-                    mesh=None, checkpoint=None):
+                    mesh=None, checkpoint=None, resume=False):
     """Sensitivity sweep over a Cartesian (seeing, GL, L0) condition grid.
 
     Reconstructs and Moffat-fits the PSF for every combination of the
@@ -123,10 +123,15 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
 
     ``checkpoint``: optional ``.npy`` path — the packed fits completed so
     far are (re)written after every chunk, so a long sweep interrupted
-    mid-run loses at most one chunk of work.
+    mid-run loses at most one chunk of work.  With ``resume=True``, a
+    compatible existing checkpoint (same grid shape, wavelength count,
+    and packed width) is loaded first and only the grid points still
+    NaN there are recomputed; an incompatible file is ignored with a
+    warning and the sweep runs in full.
     """
-    from .fit.moffat_fit import unpack_fit
+    from .fit.moffat_fit import unpack_fit, N_PACKED
     from .utils.profiling import maybe_trace, stage_timer
+    import os
 
     if lbda is None:
         lbda = np.linspace(lmin, lmax, nl)
@@ -140,25 +145,49 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
     if three_lgs_mode:
         gs_mask[:, 3] = 0.0
 
+    buf = {}
+    if resume and checkpoint is not None and os.path.exists(checkpoint):
+        prior = np.load(checkpoint)
+        if prior.shape[0] == B and prior.shape[1] == len(lbda) \
+                and prior.shape[-1] == N_PACKED:
+            buf["a"] = np.array(prior)
+        else:
+            logger.warning(
+                "checkpoint %s has shape %s, incompatible with this "
+                "sweep's (%d, %d, %d); recomputing the full grid",
+                checkpoint, prior.shape, B, len(lbda), N_PACKED)
+    todo = np.arange(B)
+    if "a" in buf:
+        todo = np.nonzero(np.isnan(buf["a"]).any(axis=(1, 2)))[0]
+        logger.info("resuming sweep from %s: %d of %d grid points left",
+                    checkpoint, todo.size, B)
+
     on_chunk = None
     if checkpoint is not None:
-        buf = {}
-
         def on_chunk(indices, packed_np):  # noqa: F811
             # chunks arrive bucket-ordered, not grid-ordered: keep rows
-            # at their grid position, NaN = not yet computed
+            # at their grid position, NaN = not yet computed.  `indices`
+            # are positions in the `todo` subset -> map to grid rows.
             if "a" not in buf:
                 buf["a"] = np.full((B,) + packed_np.shape[1:], np.nan,
                                    packed_np.dtype)
-            buf["a"][indices] = packed_np
+            buf["a"][todo[indices]] = packed_np
             np.save(checkpoint, buf["a"])
 
-    with maybe_trace("condition_sweep"), stage_timer("condition_sweep"):
-        fit_d, _, _ = process_batch(ss.ravel(), gg.ravel(), ll.ravel(),
-                                    gs_mask, lbda, h=h, npsflin=npsflin,
-                                    cfg=cfg, chunk=chunk, mesh=mesh,
-                                    on_chunk=on_chunk)
-        packed = np.asarray(fit_d)
+    if todo.size:
+        with maybe_trace("condition_sweep"), stage_timer("condition_sweep"):
+            fit_d, _, _ = process_batch(
+                ss.ravel()[todo], gg.ravel()[todo], ll.ravel()[todo],
+                gs_mask[todo], lbda, h=h, npsflin=npsflin, cfg=cfg,
+                chunk=chunk, mesh=mesh, on_chunk=on_chunk)
+            sub = np.asarray(fit_d)
+        if todo.size == B:
+            packed = sub
+        else:
+            packed = np.array(buf["a"])
+            packed[todo] = sub
+    else:
+        packed = buf["a"]
     shape = ss.shape + (len(lbda),)
     fit = unpack_fit(packed.reshape(shape + (packed.shape[-1],)))
     return {

@@ -68,6 +68,51 @@ def test_sweep_checkpoint(tmp_path):
                         res["beta"])
 
 
+def test_sweep_resume_recomputes_only_missing_rows(tmp_path, monkeypatch,
+                                                   caplog):
+    """resume=True must load a compatible checkpoint and recompute ONLY
+    the grid points still NaN there; an incompatible checkpoint is
+    ignored with a warning."""
+    import logging
+    import muse_psfr_tpu.api as api
+    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
+    ckpt = str(tmp_path / "sweep_ckpt.npy")
+    full = condition_sweep([0.8, 1.0, 1.2], [0.7], [25.0], lbda=[800.0],
+                           cfg=cfg, chunk=2, checkpoint=ckpt)
+
+    # knock out the middle grid point and resume
+    arr = np.load(ckpt)
+    arr[1] = np.nan
+    np.save(ckpt, arr)
+
+    seen = {}
+    real = api.process_batch
+
+    def spy(seeing, *a, **k):
+        seen["B"] = np.atleast_1d(np.asarray(seeing)).shape[0]
+        return real(seeing, *a, **k)
+
+    monkeypatch.setattr(api, "process_batch", spy)
+    res = condition_sweep([0.8, 1.0, 1.2], [0.7], [25.0], lbda=[800.0],
+                          cfg=cfg, chunk=2, checkpoint=ckpt, resume=True)
+    assert seen["B"] == 1                  # only the NaN'd point
+    # cross-executable LM accept/reject paths differ at ~1e-9
+    assert_allclose(res["beta"], full["beta"], rtol=0, atol=1e-6)
+    assert_allclose(res["fwhm"], full["fwhm"], rtol=0, atol=1e-6)
+    assert not np.isnan(np.load(ckpt)).any()   # checkpoint completed
+
+    # incompatible checkpoint (wrong packed width) -> warn + recompute all
+    np.save(ckpt, arr[..., :5])
+    seen.clear()
+    with caplog.at_level(logging.WARNING, logger="muse_psfr.api"):
+        res2 = condition_sweep([0.8, 1.0, 1.2], [0.7], [25.0],
+                               lbda=[800.0], cfg=cfg, chunk=2,
+                               checkpoint=ckpt, resume=True)
+    assert seen["B"] == 3
+    assert any("incompatible" in r.message for r in caplog.records)
+    assert_allclose(res2["beta"], full["beta"], rtol=0, atol=1e-6)
+
+
 def test_extreme_conditions_do_not_poison_batch():
     """A garbage row in a batch must not affect the other rows."""
     cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
