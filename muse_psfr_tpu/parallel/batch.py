@@ -685,7 +685,12 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
 
     def _maybe_part():
         nonlocal part_start
-        if part_n > 0 and len(fits) - part_start >= part_n:
+        # the FIRST part cuts at half size: the link (bytes + ~37 ms
+        # latency per pull) needs a head start to drain under the
+        # remaining compute; later parts are full-size to bound the
+        # per-pull latency count
+        need = part_n if parts else max(1, part_n // 2)
+        if part_n > 0 and len(fits) - part_start >= need:
             gf = (jnp.concatenate(fits[part_start:], axis=0)
                   if len(fits) - part_start > 1 else fits[part_start])
             try:
