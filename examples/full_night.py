@@ -4,6 +4,7 @@ Usage: python examples/full_night.py [sparta.fits] [out.fits]
 Without arguments a synthetic 100-row night is generated.
 """
 
+import os
 import sys
 import time
 
@@ -11,9 +12,15 @@ import numpy as np
 
 from muse_psfr_tpu import (compute_psf_from_sparta, create_sparta_table,
                            HDUList, FitTable, fit_psf_with_polynom)
+from muse_psfr_tpu.config import DEFAULT_CONFIG, TINY_CONFIG
+
+# MUSE_PSFR_TINY=1 runs the same code path on the tiny test grids (used
+# by the example smoke test; also handy on CPU-only machines)
+TINY = bool(os.environ.get("MUSE_PSFR_TINY"))
+CFG = TINY_CONFIG if TINY else DEFAULT_CONFIG
 
 
-def synthetic_night(nrows=100, seed=0):
+def synthetic_night(nrows=4 if TINY else 100, seed=0):
     rng = np.random.default_rng(seed)
     hdu = create_sparta_table(nlines=nrows)
     for k in range(1, 5):
@@ -28,7 +35,7 @@ def main():
     outfile = sys.argv[2] if len(sys.argv) > 2 else "night_psf.fits"
 
     t0 = time.perf_counter()
-    res = compute_psf_from_sparta(source)
+    res = compute_psf_from_sparta(source, cfg=CFG, nl=9 if TINY else 35)
     print(f"reconstructed in {time.perf_counter() - t0:.2f}s")
 
     fit = FitTable.from_hdu(res["FIT_MEAN"])

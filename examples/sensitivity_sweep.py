@@ -3,23 +3,28 @@
 Usage: python examples/sensitivity_sweep.py [n_grid] [out.png]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 
 from muse_psfr_tpu.api import condition_sweep, save_sweep
+from muse_psfr_tpu.config import DEFAULT_CONFIG, TINY_CONFIG
+
+TINY = bool(os.environ.get("MUSE_PSFR_TINY"))
+CFG = TINY_CONFIG if TINY else DEFAULT_CONFIG
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else (3 if TINY else 16)
     out = sys.argv[2] if len(sys.argv) > 2 else "sweep.png"
 
     seeing = np.linspace(0.6, 1.6, n)
     gl = np.linspace(0.3, 0.9, n)
     t0 = time.perf_counter()
     res = condition_sweep(seeing, gl, [25.0], lbda=[500.0, 700.0, 900.0],
-                          checkpoint="sweep_progress.npy")
+                          cfg=CFG, checkpoint="sweep_progress.npy")
     print(f"{n * n} conditions in {time.perf_counter() - t0:.2f}s")
     save_sweep(res, "sweep.fits")
 
