@@ -122,16 +122,21 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
     ``compute_psf``, one process per row).
 
     ``checkpoint``: optional ``.npy`` path — the packed fits completed so
-    far are (re)written after every chunk, so a long sweep interrupted
-    mid-run loses at most one chunk of work.  With ``resume=True``, a
-    compatible existing checkpoint (same grid shape, wavelength count,
-    and packed width) is loaded first and only the grid points still
-    NaN there are recomputed; an incompatible file is ignored with a
-    warning and the sweep runs in full.
+    far are (re)written after every chunk (plus a ``<path>.meta.json``
+    sidecar recording the sweep's parameters and the completed grid
+    points), so a long sweep interrupted mid-run loses at most one
+    chunk of work.  With ``resume=True``, an existing checkpoint whose
+    sidecar matches THIS sweep's parameters (grids, wavelengths, h,
+    npsflin, config, laser mode) is loaded first and only the grid
+    points not recorded done are recomputed; a checkpoint with a
+    missing sidecar falls back to shape compatibility + NaN-based
+    doneness with a warning, and an incompatible one is ignored with a
+    warning (the sweep then runs in full).
     """
+    import json
+    import os
     from .fit.moffat_fit import unpack_fit, N_PACKED
     from .utils.profiling import maybe_trace, stage_timer
-    import os
 
     if lbda is None:
         lbda = np.linspace(lmin, lmax, nl)
@@ -145,12 +150,46 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
     if three_lgs_mode:
         gs_mask[:, 3] = 0.0
 
-    buf = {}
+    # provenance the checkpoint must match before being trusted: a
+    # shape-compatible file from a sweep over DIFFERENT conditions must
+    # not be silently reused
+    meta = {
+        "seeing": sv.tolist(), "GL": gv.tolist(), "L0": lv.tolist(),
+        "lbda": lbda.tolist(),
+        "h": [float(x) for x in np.ravel(h)],
+        "npsflin": int(npsflin), "three_lgs_mode": bool(three_lgs_mode),
+        "cfg": repr(cfg), "n_packed": int(N_PACKED),
+    }
+    sidecar = None if checkpoint is None else str(checkpoint) + ".meta.json"
+
+    buf = {"done": set()}
     if resume and checkpoint is not None and os.path.exists(checkpoint):
         prior = np.load(checkpoint)
-        if prior.shape[0] == B and prior.shape[1] == len(lbda) \
-                and prior.shape[-1] == N_PACKED:
-            buf["a"] = np.array(prior)
+        if prior.ndim == 3 and prior.shape == (B, len(lbda), N_PACKED):
+            prior_meta = None
+            if sidecar and os.path.exists(sidecar):
+                try:
+                    prior_meta = json.load(open(sidecar))
+                except Exception:  # noqa: BLE001 - treated as missing
+                    prior_meta = None
+            if prior_meta is not None:
+                if all(prior_meta.get(k) == v for k, v in meta.items()):
+                    buf["a"] = np.array(prior)
+                    buf["done"] = set(prior_meta.get("done", []))
+                else:
+                    logger.warning(
+                        "checkpoint %s was written by a sweep with "
+                        "different parameters (sidecar mismatch); "
+                        "recomputing the full grid", checkpoint)
+            else:
+                logger.warning(
+                    "checkpoint %s has no provenance sidecar; resuming "
+                    "on shape compatibility and NaN-based doneness only "
+                    "— verify it belongs to this sweep", checkpoint)
+                buf["a"] = np.array(prior)
+                buf["done"] = set(
+                    np.nonzero(~np.isnan(prior).any(axis=(1, 2)))[0]
+                    .tolist())
         else:
             logger.warning(
                 "checkpoint %s has shape %s, incompatible with this "
@@ -158,7 +197,7 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
                 checkpoint, prior.shape, B, len(lbda), N_PACKED)
     todo = np.arange(B)
     if "a" in buf:
-        todo = np.nonzero(np.isnan(buf["a"]).any(axis=(1, 2)))[0]
+        todo = np.array(sorted(set(range(B)) - buf["done"]), int)
         logger.info("resuming sweep from %s: %d of %d grid points left",
                     checkpoint, todo.size, B)
 
@@ -166,13 +205,19 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
     if checkpoint is not None:
         def on_chunk(indices, packed_np):  # noqa: F811
             # chunks arrive bucket-ordered, not grid-ordered: keep rows
-            # at their grid position, NaN = not yet computed.  `indices`
-            # are positions in the `todo` subset -> map to grid rows.
+            # at their grid position.  `indices` are positions in the
+            # `todo` subset -> map to grid rows.  Doneness is tracked in
+            # the sidecar (NOT by NaN content: a degenerate plane's
+            # legitimate fit stores NaN error bars).
             if "a" not in buf:
                 buf["a"] = np.full((B,) + packed_np.shape[1:], np.nan,
                                    packed_np.dtype)
-            buf["a"][todo[indices]] = packed_np
+            rows = todo[indices]
+            buf["a"][rows] = packed_np
+            buf["done"].update(int(r) for r in rows)
             np.save(checkpoint, buf["a"])
+            with open(sidecar, "w") as fh:
+                json.dump({**meta, "done": sorted(buf["done"])}, fh)
 
     if todo.size:
         with maybe_trace("condition_sweep"), stage_timer("condition_sweep"):

@@ -80,10 +80,15 @@ def test_sweep_resume_recomputes_only_missing_rows(tmp_path, monkeypatch,
     full = condition_sweep([0.8, 1.0, 1.2], [0.7], [25.0], lbda=[800.0],
                            cfg=cfg, chunk=2, checkpoint=ckpt)
 
-    # knock out the middle grid point and resume
+    # emulate an interrupted run: grid point 1 never completed
+    import json
     arr = np.load(ckpt)
     arr[1] = np.nan
     np.save(ckpt, arr)
+    side = ckpt + ".meta.json"
+    m = json.load(open(side))
+    m["done"] = [0, 2]
+    json.dump(m, open(side, "w"))
 
     seen = {}
     real = api.process_batch
@@ -95,15 +100,46 @@ def test_sweep_resume_recomputes_only_missing_rows(tmp_path, monkeypatch,
     monkeypatch.setattr(api, "process_batch", spy)
     res = condition_sweep([0.8, 1.0, 1.2], [0.7], [25.0], lbda=[800.0],
                           cfg=cfg, chunk=2, checkpoint=ckpt, resume=True)
-    assert seen["B"] == 1                  # only the NaN'd point
+    assert seen["B"] == 1                  # only the missing point
     # cross-executable LM accept/reject paths differ at ~1e-9
     assert_allclose(res["beta"], full["beta"], rtol=0, atol=1e-6)
     assert_allclose(res["fwhm"], full["fwhm"], rtol=0, atol=1e-6)
     assert not np.isnan(np.load(ckpt)).any()   # checkpoint completed
+    assert json.load(open(side))["done"] == [0, 1, 2]
 
-    # incompatible checkpoint (wrong packed width) -> warn + recompute all
+    # checkpoint from a sweep over DIFFERENT conditions (same shape):
+    # the sidecar mismatch must prevent silent reuse
+    seen.clear()
+    with caplog.at_level(logging.WARNING, logger="muse_psfr.api"):
+        condition_sweep([0.8, 1.0, 1.2], [0.7], [20.0], lbda=[800.0],
+                        cfg=cfg, chunk=2, checkpoint=str(tmp_path / "x.npy"))
+        import shutil
+        shutil.copy(str(tmp_path / "x.npy"), ckpt)
+        # keep OUR sidecar: content mismatch (L0 differs) is in x's meta
+        shutil.copy(str(tmp_path / "x.npy") + ".meta.json", side)
+        res_m = condition_sweep([0.8, 1.0, 1.2], [0.7], [25.0],
+                                lbda=[800.0], cfg=cfg, chunk=2,
+                                checkpoint=ckpt, resume=True)
+    assert seen["B"] == 3                  # full recompute
+    assert any("different parameters" in r.message for r in caplog.records)
+    assert_allclose(res_m["beta"], full["beta"], rtol=0, atol=1e-6)
+
+    # missing sidecar -> NaN-based fallback with a warning
+    import os
+    os.remove(side)
+    seen.clear()
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="muse_psfr.api"):
+        condition_sweep([0.8, 1.0, 1.2], [0.7], [25.0], lbda=[800.0],
+                        cfg=cfg, chunk=2, checkpoint=ckpt, resume=True)
+    assert any("no provenance sidecar" in r.message
+               for r in caplog.records)
+
+    # incompatible checkpoint (wrong packed width / ndim) -> warn +
+    # recompute all, never crash
     np.save(ckpt, arr[..., :5])
     seen.clear()
+    caplog.clear()
     with caplog.at_level(logging.WARNING, logger="muse_psfr.api"):
         res2 = condition_sweep([0.8, 1.0, 1.2], [0.7], [25.0],
                                lbda=[800.0], cfg=cfg, chunk=2,
@@ -111,6 +147,12 @@ def test_sweep_resume_recomputes_only_missing_rows(tmp_path, monkeypatch,
     assert seen["B"] == 3
     assert any("incompatible" in r.message for r in caplog.records)
     assert_allclose(res2["beta"], full["beta"], rtol=0, atol=1e-6)
+    np.save(ckpt, np.zeros(3))             # 1-D file: must not IndexError
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="muse_psfr.api"):
+        condition_sweep([0.8, 1.0, 1.2], [0.7], [25.0], lbda=[800.0],
+                        cfg=cfg, chunk=2, checkpoint=ckpt, resume=True)
+    assert any("incompatible" in r.message for r in caplog.records)
 
 
 def test_extreme_conditions_do_not_poison_batch():

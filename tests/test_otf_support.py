@@ -162,16 +162,26 @@ def test_pull_overlap_part_paths_match(monkeypatch):
     def run():
         return process_batch(see, gl, l0, mask, lbda, cfg=cfg, chunk=1)
 
+    def run2():
+        return process_batch(see, gl, l0, mask, lbda, cfg=cfg, chunk=2)
+
     monkeypatch.delenv("MUSE_PSFR_NO_OVERLAP", raising=False)
     monkeypatch.setenv("MUSE_PSFR_PULL_PART", "1")
     a = run()                       # all parts, empty remainder
     monkeypatch.delenv("MUSE_PSFR_PULL_PART")
-    b = run()                       # default part size (no parts at B=4)
+    b = run()                       # adaptive default (part 2 at 4 chunks)
     monkeypatch.setenv("MUSE_PSFR_NO_OVERLAP", "1")
     c = run()                       # overlap disabled
     for x, y in zip(a, b):
         assert_allclose(x, y, rtol=0, atol=0)
     for x, y in zip(a, c):
+        assert_allclose(x, y, rtol=0, atol=0)
+    # the true parts-disabled default (under 4 chunks -> single pull)
+    monkeypatch.delenv("MUSE_PSFR_NO_OVERLAP")
+    d = run2()
+    monkeypatch.setenv("MUSE_PSFR_NO_OVERLAP", "1")
+    e = run2()
+    for x, y in zip(d, e):
         assert_allclose(x, y, rtol=0, atol=0)
 
 
