@@ -104,11 +104,12 @@ def main():
     # pipeline and the cross-chunk concatenation)
     run(N_ROWS)
 
-    # best of 3 timed runs: the shared tunneled chip's run-to-run spread
+    # best of 5 timed runs: the shared tunneled chip's run-to-run spread
     # (chip sharing + command-latency jitter) is larger than the
     # pipeline's own variation, so the minimum is the stable estimator
+    # (each extra run costs ~0.1-0.5 s against a multi-minute warmup)
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         fit, psf_mean, fit_mean = run(N_ROWS)
         times.append(time.perf_counter() - t0)
