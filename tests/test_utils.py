@@ -111,3 +111,43 @@ def test_host64_refit_warns_and_degrades_without_scoped_x64(monkeypatch,
         f = fit_moffat_cube_host64(cube)
     assert any("scoped x64" in r.message for r in caplog.records)
     np.testing.assert_allclose(f["n"][0], 2.4, atol=1e-4)  # f32 fallback
+
+
+def test_radial_profile_numeric():
+    """Azimuthal average of a radially symmetric field reproduces the
+    generating profile (reference psfrec.py:810-823 semantics: centre at
+    int(n/2 + 0.5), histogram-binned mean per radius)."""
+    from muse_psfr_tpu.plotting import radial_profile
+    n = 41
+    c = int(n / 2 + 0.5)
+    y, x = np.ogrid[:n, :n]
+    r = np.hypot(y - c, x - c)
+    arr = 1.0 / (1.0 + r * r)                     # exact function of r
+    centers, prof = radial_profile(arr, binsize=1)
+    assert centers.shape == prof.shape
+    # bin 0 contains only the centre pixel -> exact
+    np.testing.assert_allclose(prof[0], 1.0, rtol=1e-12)
+    # each bin's mean must lie between the function's values at the
+    # bin's radius bounds (monotone decreasing generator)
+    k = np.arange(15, dtype=float)
+    lo = 1.0 / (1.0 + (k + 1.0) ** 2)
+    hi = 1.0 / (1.0 + np.maximum(k - 0.5, 0.0) ** 2)
+    p = prof[:15]
+    mask = np.isfinite(p)
+    assert mask.sum() >= 10
+    assert np.all((p[mask] >= lo[mask]) & (p[mask] <= hi[mask]))
+    assert np.all(np.diff(p[mask]) < 0)           # monotone decay
+
+
+def test_plot_directions_smoke():
+    """C4's plotting half: LGS/NGS markers and the direction grid render
+    (agg backend), with the axis span covering the guide stars."""
+    import matplotlib
+    matplotlib.use("agg")
+    from muse_psfr_tpu.plotting import plot_directions
+    from muse_psfr_tpu.core.grids import lgs_positions
+    lgs = np.asarray(lgs_positions())
+    ax = plot_directions(3, lgs=lgs, ngs=np.array([[10.0], [-20.0]]))
+    labels = [t.get_text() for t in ax.get_legend().get_texts()]
+    assert any("LGS" in t for t in labels)
+    assert any("direction" in t.lower() for t in labels)
