@@ -382,6 +382,12 @@ def fits_open(source):
         while True:
             hdr = _read_header(stream)
             if hdr is None:
+                if first:
+                    # astropy raises on an empty file too; an empty
+                    # HDUList here would only defer to a confusing
+                    # KeyError at the extension lookup
+                    raise OSError("empty or corrupt FITS file "
+                                  "(no HDUs found)")
                 break
             if first:
                 data = _read_image(stream, hdr)

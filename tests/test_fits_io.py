@@ -160,3 +160,23 @@ def test_unsupported_image_dtype_raises():
         HDUList([PrimaryHDU(),
                  ImageHDU(data=np.arange(6, dtype=np.uint16).reshape(2, 3))
                  ]).writeto(io.BytesIO())
+
+
+def test_fits_open_rejects_malformed_inputs():
+    """Truncated/empty/garbage inputs raise OSError with a clear message
+    (astropy parity), never return a confusing partial HDUList."""
+    import io
+    import numpy as np
+    import pytest
+    from muse_psfr_tpu.io.fits import fits_open
+    from muse_psfr_tpu import create_sparta_table, HDUList
+
+    buf = io.BytesIO()
+    HDUList([create_sparta_table(nlines=2)]).writeto(buf)
+    data = buf.getvalue()
+    for blob in (b"", data[:100], b"NOT A FITS FILE" * 200):
+        with pytest.raises(OSError):
+            fits_open(io.BytesIO(blob))
+    # the intact bytes still round-trip
+    h = fits_open(io.BytesIO(data))
+    assert [x.name for x in h][0] == "PRIMARY"
