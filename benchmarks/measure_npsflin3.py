@@ -47,6 +47,11 @@ def main():
     logging.getLogger("muse_psfr.batch").addHandler(counter)
 
     cfg = GalacsiConfig()
+    # A/B knob: MUSE_PSFR_ANCHOR=0 forces the exact per-wavelength exp
+    # kernel (round-3 behaviour); default lets the batch layer certify
+    # and engage the anchored-Taylor kernel (cfg.zoom_anchor="auto")
+    if os.environ.get("MUSE_PSFR_ANCHOR") == "0":
+        cfg = cfg.with_(zoom_anchor="off")
     lbda = np.linspace(490, 930, NL)
     seeing, GL, L0, mask = build_rows(ROWS)
     okw = rows_windowable(seeing, GL, L0, mask, float(lbda.max()), cfg,

@@ -202,7 +202,21 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
                     checkpoint, todo.size, B)
 
     on_chunk = None
+    on_redo_start = None
     if checkpoint is not None:
+        def on_redo_start(indices):  # noqa: F811
+            # a window-guard trip invalidates these rows' earlier
+            # delivery: un-mark them so a crash before the corrected
+            # on_chunk call cannot persist stale (too-small-window)
+            # fits as done across a resume
+            rows = todo[indices]
+            buf["done"].difference_update(int(r) for r in rows)
+            if "a" in buf:
+                buf["a"][rows] = np.nan
+                np.save(checkpoint, buf["a"])
+            with open(sidecar, "w") as fh:
+                json.dump({**meta, "done": sorted(buf["done"])}, fh)
+
         def on_chunk(indices, packed_np):  # noqa: F811
             # chunks arrive bucket-ordered, not grid-ordered: keep rows
             # at their grid position.  `indices` are positions in the
@@ -224,7 +238,8 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
             fit_d, _, _ = process_batch(
                 ss.ravel()[todo], gg.ravel()[todo], ll.ravel()[todo],
                 gs_mask[todo], lbda, h=h, npsflin=npsflin, cfg=cfg,
-                chunk=chunk, mesh=mesh, on_chunk=on_chunk)
+                chunk=chunk, mesh=mesh, on_chunk=on_chunk,
+                on_redo_start=on_redo_start)
             sub = np.asarray(fit_d)
         if todo.size == B:
             packed = sub

@@ -124,6 +124,38 @@ class GalacsiConfig:
                                # Must be a multiple of 128 (tile-aligned);
                                # each distinct value is a separate
                                # compilation of the pipeline.
+    zoom_anchor: str = "auto"  # anchored-Taylor evaluation of the OTF
+                               # damping exp(alpha_l * Dphi_d) inside the
+                               # fused Pallas kernel: ONE anchor
+                               # exponential e^x per direction per
+                               # wavelength chunk (x = alpha* * Dphi_d,
+                               # alpha* the chunk's midpoint alpha) and
+                               # every wavelength reconstructed as
+                               # e^x * sum_j ((rho_l - 1) x)^j / j!
+                               # (rho_l = alpha_l/alpha*) — cutting the
+                               # VPU transcendentals per chunk pixel from
+                               # ndir*nl to ndir (63 -> 9 at npsflin=3).
+                               # "auto": the batch layer certifies the
+                               # analytic per-pixel OTF error bound
+                               # (otf/psf.py:zoom_anchor_bound) against
+                               # zoom_anchor_budget on the host and turns
+                               # it on only for multi-direction runs
+                               # (ndir >= zoom_anchor_min_ndir) on the
+                               # Pallas path; "on"/"off" force it.
+                               # Traced-lambda standalone calls see
+                               # "auto" as off (certification needs the
+                               # host-side wavelength grid).
+    zoom_anchor_degree: int = 8   # Taylor degree of the per-wavelength
+                               # reconstruction; the certified bound at
+                               # the MUSE grid's worst (bluest) chunk is
+                               # ~5e-8 per OTF pixel (budget 1e-6)
+    zoom_anchor_budget: float = 1e-6  # max certified per-pixel OTF
+                               # abs-error bound for "auto" to engage
+    zoom_anchor_min_ndir: int = 4  # anchor sharing only wins when the
+                               # anchor exp amortises over directions:
+                               # at ndir=1 the per-lambda polynomial
+                               # costs more VPU work than the exp it
+                               # replaces (measured; RESULTS.md)
     use_pallas: bool = True    # fused exp+zoom-DFT Pallas kernel (TPU
                                # only, float32, dim % 128 == 0; silently
                                # falls back to the XLA zoom path

@@ -65,33 +65,138 @@ def _kernel(alpha_ref, w_ref, dphi_ref, dl_ref, *rest, precision):
     @pl.when(d == ndir - 1)
     def _():
         dlt = dl_ref[:, :]
-        dims = (((1,), (0,)), ((), ()))
         for l in range(nl):
-            g = gsum_ref[l] * dlt
-            if precision == "high":
-                # Mosaic rejects Precision.HIGH, so the 3-pass bf16
-                # scheme (hi*hi + hi*lo + lo*hi, f32 accumulation) is
-                # spelled out: half the MXU passes of HIGHEST at ~1e-6
-                # relative (the dropped lo*lo term is ~2^-16 relative).
-                # PITFALL: the hi/lo split MUST happen inside the kernel
-                # (Mosaic) — in XLA on TPU, `a - f32(bf16(a))` is
-                # algebraically simplified to zero (the convert round
-                # trip is treated as identity), which silently degrades
-                # the scheme to one bf16 pass (~3e-3; measured, 2026-08)
-                a = a2_ref[l]
-                a_hi = a.astype(jnp.bfloat16)
-                a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                g_hi = g.astype(jnp.bfloat16)
-                g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                dot = lambda x, y: jax.lax.dot_general(  # noqa: E731
-                    x, y, dims, preferred_element_type=jnp.float32)
-                u_ref[l] = dot(a_hi, g_hi) + dot(a_hi, g_lo) + dot(a_lo, g_hi)
-            else:
-                # single-bf16-pass Mosaic default costs ~3e-3 relative —
-                # far outside the accuracy budget; never use "default"
-                u_ref[l] = jax.lax.dot_general(
-                    a2_ref[l], g, dims, precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
+            u_ref[l] = _mxu_contract(a2_ref[l], gsum_ref[l] * dlt,
+                                     precision)
+
+
+def _mxu_contract(a2_l, g, precision):
+    """One zoom-DFT stage-1 contraction at the requested f32 scheme."""
+    dims = (((1,), (0,)), ((), ()))
+    if precision == "high":
+        # Mosaic rejects Precision.HIGH, so the 3-pass bf16 scheme
+        # (hi*hi + hi*lo + lo*hi, f32 accumulation) is spelled out: half
+        # the MXU passes of HIGHEST at ~1e-6 relative (the dropped lo*lo
+        # term is ~2^-16 relative).
+        # PITFALL: the hi/lo split MUST happen inside the kernel (Mosaic)
+        # — in XLA on TPU, `a - f32(bf16(a))` is algebraically
+        # simplified to zero (the convert round trip is treated as
+        # identity), which silently degrades the scheme to one bf16 pass
+        # (~3e-3; measured, 2026-08)
+        a_hi = a2_l.astype(jnp.bfloat16)
+        a_lo = (a2_l - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        g_hi = g.astype(jnp.bfloat16)
+        g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = lambda x, y: jax.lax.dot_general(  # noqa: E731
+            x, y, dims, preferred_element_type=jnp.float32)
+        return dot(a_hi, g_hi) + dot(a_hi, g_lo) + dot(a_lo, g_hi)
+    # single-bf16-pass Mosaic default costs ~3e-3 relative — far outside
+    # the accuracy budget; never use "default"
+    return jax.lax.dot_general(
+        a2_l, g, dims, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+
+def _kernel_anchor(astar_ref, coef_ref, dphi_ref, dl_ref, *rest,
+                   precision, degree):
+    """Anchored-Taylor variant: ONE exp per (direction, tile) — not per
+    (wavelength, direction, tile) — with every wavelength's damping
+    reconstructed from shared power sums.
+
+    Per direction d the kernel computes ``x = alpha* * Dphi_d`` and
+    accumulates ``H_j = sum_d e^x x^j`` for ``j = 0..degree`` into VMEM
+    scratch; on the last direction each wavelength's direction-averaged
+    OTF is the per-lambda linear combination ``G_l = sum_j coef[l, j]
+    H_j`` with host-certified coefficients ``coef[l, j] = w_l *
+    (alpha_l/alpha* - 1)^j / j!`` (see otf/psf.py:zoom_anchor_bound for
+    the error bound).  The expansion variable is the DIMENSIONLESS
+    ``x = alpha* * Dphi`` — expanding in powers of Dphi itself would
+    overflow float32 (Dphi ~ 1e5 nm^2, Dphi^8 ~ 1e40) while
+    ``|x|^j e^x <= (j/e)^j`` stays small, and wherever ``e^x``
+    underflows (x < -87) the true OTF is < 1e-30 of DC, so
+    flush-to-zero is harmless.
+    """
+    a2_ref, u_ref, hsum_ref = rest
+    d = pl.program_id(1)
+    ndir = pl.num_programs(1)
+    nl = u_ref.shape[0]
+    x = astar_ref[0] * dphi_ref[0]
+    f = jnp.exp(x)
+    for j in range(degree + 1):
+        @pl.when(d == 0)
+        def _(j=j, f=f):
+            hsum_ref[j] = f
+
+        @pl.when(d > 0)
+        def _(j=j, f=f):
+            hsum_ref[j] = hsum_ref[j] + f
+
+        if j < degree:
+            f = f * x
+
+    @pl.when(d == ndir - 1)
+    def _():
+        dlt = dl_ref[:, :]
+        for l in range(nl):
+            g = coef_ref[l, 0] * hsum_ref[0]
+            for j in range(1, degree + 1):
+                g = g + coef_ref[l, j] * hsum_ref[j]
+            u_ref[l] = _mxu_contract(a2_ref[l], g * dlt, precision)
+
+
+@partial(jax.jit, static_argnames=("tile_j", "precision", "degree",
+                                  "interpret"))
+def fused_exp_zoom_anchor(dphi, dl, a2, astar, coef, tile_j: int = 128,
+                          precision: str = "highest", degree: int = 8,
+                          interpret: bool = False):
+    """U[l] = A2[l] @ ((sum_j coef[l,j] H_j) * dl), H_j = sum_d e^x x^j,
+    x = astar * Dphi[d] — the anchored-Taylor form of
+    :func:`fused_exp_zoom` (cfg.zoom_anchor).  ``astar``: scalar anchor
+    alpha (the chunk's midpoint); ``coef``: (nl, degree+1) per-lambda
+    reconstruction coefficients with any DC normalisation folded in.
+    Certified error: see otf/psf.py:zoom_anchor_bound.
+    """
+    ndir, n, ncols = dphi.shape
+    nl, m2, _ = a2.shape
+    assert ncols % tile_j == 0, (ncols, tile_j)
+    assert dl.shape[0] == n and dl.shape[1] >= ncols, (dl.shape, n, ncols)
+    astar = jnp.asarray(astar, jnp.float32).reshape(1)
+    coef = jnp.asarray(coef, jnp.float32)
+    assert coef.shape == (nl, degree + 1), (coef.shape, nl, degree)
+    if precision not in ("highest", "high"):
+        raise ValueError(f"unsupported zoom precision {precision!r}; "
+                         "'default' (1-pass bf16) is outside the accuracy "
+                         "budget")
+
+    grid = (ncols // tile_j, ndir)
+    return pl.pallas_call(
+        partial(_kernel_anchor, precision=precision, degree=degree),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, n, tile_j), lambda j, d, a, ct: (d, 0, j)),
+                pl.BlockSpec((n, tile_j), lambda j, d, a, ct: (0, j)),
+                pl.BlockSpec((nl, m2, n), lambda j, d, a, ct: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((nl, m2, tile_j),
+                                   lambda j, d, a, ct: (0, 0, j)),
+            scratch_shapes=[pltpu.VMEM((degree + 1, n, tile_j),
+                                       jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nl, m2, ncols), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * nl * m2 * n * ncols
+                   + 2 * (ndir * (degree + 2)
+                          + nl * (degree + 1)) * n * ncols),
+            bytes_accessed=4 * (ndir + 1) * n * ncols + 2 * 4 * nl * m2 * n,
+            transcendentals=ndir * n * ncols,
+        ),
+        interpret=interpret,
+    )(astar, coef, dphi, dl, a2)
 
 
 @partial(jax.jit, static_argnames=("tile_j", "precision", "interpret"))

@@ -408,7 +408,8 @@ def _combine_bilinear(p, t, nout: int):
             + t[:, None] * t[None, :] * p[nout:, nout:])
 
 
-def _pallas_lambda_chunk(cfg: GalacsiConfig, nrows: int) -> int:
+def _pallas_lambda_chunk(cfg: GalacsiConfig, nrows: int,
+                         anchor: bool = False) -> int:
     """Largest wavelength-chunk size whose fused-kernel VMEM budget
     fits: the a2 block, the accumulation scratch, and the double-
     buffered dphi/dl/u pipeline blocks (~16 MB/core on TPU).  The
@@ -416,13 +417,124 @@ def _pallas_lambda_chunk(cfg: GalacsiConfig, nrows: int) -> int:
     to fit; larger grids with the full window (e.g. dim=2048) would
     blow up — shrink the chunk instead of crashing in Mosaic, and
     report 0 when not even one wavelength fits (callers then fall back
-    to the XLA zoom path)."""
+    to the XLA zoom path).
+
+    ``anchor``: the anchored-Taylor kernel's scratch holds the
+    (degree+1) shared power sums instead of one accumulator per
+    wavelength — chunk-size-independent, so it moves from the per-k
+    term to the fixed budget (the dim=1280 FULL-window case then fits
+    chunk 5; the windowed production case keeps 7).  The anchor budget
+    is calibrated lower: Mosaic reported 16.18M > the 16M scoped-vmem
+    limit for the full-window anchor kernel at chunk 6 (measured
+    2026-08), i.e. ~0.8M of unmodelled overhead on top of this
+    formula's blocks."""
     m2, tj = 4 * cfg.dimpsf, 128
     per_k = 4 * (m2 * nrows + nrows * tj + 2 * 2 * m2 * tj)
     fixed = 4 * 2 * 2 * nrows * tj                  # dphi + dl blocks
-    # calibrated so the known-fitting production case keeps chunk 7
-    budget = 15_800_000
+    budget = 15_800_000  # calibrated: the known-fitting production
+    #                      exact-kernel case keeps chunk 7
+    if anchor:
+        per_k -= 4 * nrows * tj
+        fixed += 4 * (cfg.zoom_anchor_degree + 1) * nrows * tj
+        budget = 15_000_000
     return max(0, (budget - fixed) // per_k)
+
+
+def _anchor_lambda_chunk(cfg: GalacsiConfig, nl: int, nrows: int) -> int:
+    """The wavelength chunk size ``psf_cube_from_base`` will use on the
+    anchored Pallas path — shared with the host-side certification
+    (:func:`resolve_zoom_anchor`), which must predict the exact chunking
+    the traced code performs."""
+    k = max(1, min(cfg.lambda_chunk, nl))
+    k_fit = _pallas_lambda_chunk(cfg, nrows, anchor=True)
+    return 0 if k_fit < 1 else max(1, min(k, k_fit))
+
+
+def zoom_anchor_bound(lbda_nm, k: int, degree: int) -> float:
+    """Certified per-pixel OTF abs-error bound of the anchored-Taylor
+    damping evaluation (cfg.zoom_anchor), maximised over wavelength
+    chunks.
+
+    Per chunk of ``k`` wavelengths, the kernel evaluates ``e^{alpha_l D}
+    = e^x sum_j u^j/j!`` truncated at ``degree``, with ``x = alpha* D``
+    (``alpha* = (alpha_min + alpha_max)/2`` of the chunk) and ``u =
+    (alpha_l/alpha* - 1) x``.  With ``r = max_l |alpha_l/alpha* - 1|``
+    and ``t = -x >= 0`` (alpha < 0, D >= 0), the truncation error is
+
+        |e^x| * |R_degree(u)| <= e^{-t} (r t)^{p}/p! * e^{r t},  p = degree+1
+
+    whose supremum over t >= 0 (at ``t = p/(1-r)``) is
+
+        bound = (r p / (1 - r))^p  e^{-p} / p!
+
+    — uniform in the structure function D, so it certifies every pixel,
+    every direction, and every telemetry row at once.  The MUSE grid's
+    bluest chunk (k=7 of 35 over 465-930 nm) has r = 0.161, giving
+    ~5e-8 at the default degree 8 (budget 1e-6, pipeline rms 3e-8).
+    Interpolating in alpha across anchor wavelengths instead (the other
+    natural scheme) is far worse: its error lacks the 1/p! factor and
+    peaks where e^{alpha D} is O(1) — measured ~1e-3 for quadratic
+    interpolation at the same anchor spacing.
+
+    Returns +inf when any chunk has r >= 1 (anchor outside the
+    convergence-bound regime; cannot happen for a chunk of consecutive
+    MUSE wavelengths).
+    """
+    from math import factorial
+    lb = np.asarray(lbda_nm, np.float64).ravel()
+    if lb.size == 0 or not np.all(np.isfinite(lb)) or np.any(lb <= 0):
+        return np.inf
+    pad = (-lb.size) % k
+    if pad:
+        lb = np.concatenate([lb, np.repeat(lb[-1], pad)])
+    al = -0.5 * (2.0 * np.pi / lb) ** 2
+    p = degree + 1
+    worst = 0.0
+    for c in al.reshape(-1, k):
+        astar = 0.5 * (c.min() + c.max())
+        r = np.max(np.abs(c / astar - 1.0))
+        if r >= 1.0:
+            return np.inf
+        worst = max(worst, (r * p / (1.0 - r)) ** p
+                    * np.exp(-p) / factorial(p))
+    return worst
+
+
+def resolve_zoom_anchor(cfg: GalacsiConfig, lbda_nm, ndir: int):
+    """Resolve ``cfg.zoom_anchor == "auto"`` on the host: "on" iff the
+    Pallas path is active, the direction count amortises the anchor exp
+    (``ndir >= cfg.zoom_anchor_min_ndir``), and the certified error
+    bound (:func:`zoom_anchor_bound`, at the exact chunking the traced
+    code will use) is within ``cfg.zoom_anchor_budget``.  Needs the
+    concrete wavelength grid, so it runs where lambda is still a host
+    array (the batch layer's planning step); jitted entry points that
+    only ever see traced wavelengths treat "auto" as off.
+    """
+    if cfg.zoom_anchor != "auto":
+        return cfg
+    # a negative resolution KEEPS "auto" (treated as off at trace time)
+    # instead of rewriting to "off": the static jit key — and hence every
+    # already-compiled non-anchored executable — stays unchanged
+    if ndir < cfg.zoom_anchor_min_ndir:
+        return cfg
+    if not (cfg.use_pallas and cfg.use_zoom_dft and cfg.dtype == "float32"
+            and cfg.dim % 128 == 0
+            and jax.default_backend() in ("tpu",)):
+        return cfg
+    win = cfg.otf_window
+    nrows = cfg.dim if win is None else 2 * win[1]
+    lb = np.asarray(lbda_nm, np.float64).ravel()
+    k = _anchor_lambda_chunk(cfg, lb.size, nrows)
+    if k < 1:
+        return cfg
+    bound = zoom_anchor_bound(lb, k, cfg.zoom_anchor_degree)
+    if bound > cfg.zoom_anchor_budget:
+        logger.warning(
+            "zoom_anchor auto-disabled: certified bound %.2e exceeds "
+            "budget %.2e (degree %d, chunk %d)", bound,
+            cfg.zoom_anchor_budget, cfg.zoom_anchor_degree, k)
+        return cfg
+    return cfg.with_(zoom_anchor="on")
 
 
 def _psf_chunk_pallas(base, dl, lb_k, npix_k, cfg, interpret=False):
@@ -459,12 +571,40 @@ def _psf_chunk_pallas(base, dl, lb_k, npix_k, cfg, interpret=False):
 
     alpha = -0.5 * (2.0 * np.pi / lb_k.astype(dtype)) ** 2   # (k,)
     c = dim // 2
-    norm = jnp.exp(alpha[:, None] * base[None, :, c - r_lo, c - r_lo]) \
-        * dl[c, c]
-    w = 1.0 / (ndir * norm)                                  # (k, ndir)
-
-    u = fused_exp_zoom(base, dl[r_lo:r_hi, r_lo:col_hi], a2, alpha, w,
-                       precision=cfg.zoom_precision, interpret=interpret)
+    if cfg.zoom_anchor == "on":
+        # anchored-Taylor damping (see ops/zoom_dft.py:_kernel_anchor and
+        # :func:`zoom_anchor_bound`): one exp per direction per chunk.
+        # Shifting each direction's structure function by its centre
+        # value makes the per-direction DC normaliser
+        # exp(alpha_l * D_d(centre)) exactly 1 — the same factor the
+        # exact path divides out — so the weights lose their direction
+        # dependence and fold into the reconstruction coefficients.
+        from ..ops.zoom_dft import fused_exp_zoom_anchor
+        from math import factorial
+        cc = c - r_lo
+        base_s = base - base[:, cc, cc][:, None, None]
+        astar = 0.5 * (jnp.min(alpha) + jnp.max(alpha))
+        rho1 = alpha / astar - 1.0                           # (k,)
+        deg = cfg.zoom_anchor_degree
+        fact = jnp.asarray([factorial(j) for j in range(deg + 1)], dtype)
+        # rho1^j by cumulative product (lax.pow on a negative base with a
+        # float exponent is exp(j log x) -> NaN)
+        cols = [jnp.ones_like(rho1)]
+        for _ in range(deg):
+            cols.append(cols[-1] * rho1)
+        coef = (jnp.stack(cols, axis=1) / fact[None, :]
+                / (ndir * dl[c, c]))                         # (k, deg+1)
+        u = fused_exp_zoom_anchor(base_s, dl[r_lo:r_hi, r_lo:col_hi], a2,
+                                  astar, coef,
+                                  precision=cfg.zoom_precision,
+                                  degree=deg, interpret=interpret)
+    else:
+        norm = jnp.exp(alpha[:, None] * base[None, :, c - r_lo, c - r_lo]) \
+            * dl[c, c]
+        w = 1.0 / (ndir * norm)                              # (k, ndir)
+        u = fused_exp_zoom(base, dl[r_lo:r_hi, r_lo:col_hi], a2, alpha, w,
+                           precision=cfg.zoom_precision,
+                           interpret=interpret)
     m = 2 * nout
     mm = _mm(cfg)
     if win is not None:
@@ -663,7 +803,8 @@ def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig):
     nl = lbda_nm.shape[0]
     k = max(1, min(cfg.lambda_chunk, nl))
     if pallas_ok:
-        k_fit = _pallas_lambda_chunk(cfg, base.shape[-2])
+        k_fit = _pallas_lambda_chunk(cfg, base.shape[-2],
+                                     anchor=(cfg.zoom_anchor == "on"))
         if k_fit < 1:
             pallas_ok = False       # cannot fit even one wavelength
         else:

@@ -24,7 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import GalacsiConfig
 from ..psd.model import simulate_psd, simulate_psd_split
 from ..otf.psf import (psf_cube, psf_cube_from_base, dphi_base,
-                       dphi_base_split)
+                       dphi_base_split, resolve_zoom_anchor)
 from ..otf.convolve import convolve_final
 from ..utils.log import get_logger
 
@@ -457,6 +457,15 @@ def _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg, chunk,
                         sub = [(cfg_w, rest[okw]), (cfg, rest[~okw])]
             groups += sub
 
+    # resolve the anchored-Taylor zoom certification per group (the
+    # window height sets the kernel's lambda chunking, so each support
+    # bucket certifies its own bound); deterministic in (cfg, lambda
+    # grid, npsflin), so guard-redo passes resolve to the same static
+    # keys as the original full-window bucket and reuse its executables
+    ndir = npsflin * npsflin
+    groups = [(resolve_zoom_anchor(gcfg, lb_np, ndir), gidx)
+              for gcfg, gidx in groups]
+
     # clamp the chunk to the batch (smaller nights would pad pointlessly)
     # — EXCEPT on the guard-redo path: the redo subset is usually smaller
     # than one chunk, and shrinking would trace a fresh (B, 7) static
@@ -612,7 +621,7 @@ def pull_packed(*arrays):
 def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                   npsflin: int = 1, cfg: GalacsiConfig = None,
                   chunk: int = 8, mesh: Mesh = None,
-                  fit_dtype: str = None, on_chunk=None,
+                  fit_dtype: str = None, on_chunk=None, on_redo_start=None,
                   _force_full=False, _return_parts=False):
     """Full device-resident batch: reconstruct, Moffat-fit, and average.
 
@@ -648,6 +657,15 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     checkpoint long sweeps — it pulls each chunk's packed fits to the
     host, which costs one small transfer per chunk.
 
+    ``on_redo_start(row_indices)`` is called once, BEFORE the redo
+    dispatch, with the input-row indices about to be recomputed — their
+    earlier ``on_chunk`` values are stale (too-small window).  Durable
+    sinks must un-mark those rows until the corrected ``on_chunk`` call
+    arrives: otherwise a crash between the stale delivery and the
+    corrected one would persist the wrong values as done (the
+    checkpoint/resume path of :func:`muse_psfr_tpu.api.condition_sweep`
+    does exactly this).
+
     ``_return_parts`` (internal, redo path): return the device-resident
     ``(fit_packed, psf_sum, guard_vec)`` without any host pull, mean, or
     guard handling.
@@ -680,8 +698,15 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                        for _, gidx in groups)
     default_part = (max(2, min(8, total_chunks // 2))
                     if total_chunks >= 4 else 0)
-    part_n = 0 if (_return_parts or os.environ.get("MUSE_PSFR_NO_OVERLAP")) \
-        else int(os.environ.get("MUSE_PSFR_PULL_PART", default_part))
+    if _return_parts or os.environ.get("MUSE_PSFR_NO_OVERLAP"):
+        part_n = 0
+    else:
+        try:
+            part_n = int(os.environ.get("MUSE_PSFR_PULL_PART", default_part))
+        except ValueError:
+            logger.warning("ignoring non-integer MUSE_PSFR_PULL_PART=%r",
+                           os.environ["MUSE_PSFR_PULL_PART"])
+            part_n = default_part
 
     def _maybe_part():
         nonlocal part_start
@@ -800,6 +825,8 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
         "margin %.2f); recomputing %d of %d rows with the full window",
         tripped.size, guard_np.shape[0], float(guard_np.min()),
         redo_idx.size, count)
+    if on_redo_start is not None:
+        on_redo_start(redo_idx)
     on_chunk_redo = None
     if on_chunk is not None:
         def on_chunk_redo(local_idx, packed_np):

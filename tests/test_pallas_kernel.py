@@ -44,6 +44,132 @@ def test_fused_exp_zoom_interpret(ndir, nl):
         assert_allclose(np.asarray(u, np.float64), ref, rtol=0, atol=atol)
 
 
+def test_fused_exp_zoom_anchor_interpret():
+    """The anchored-Taylor kernel must match the exact per-wavelength
+    exponentials within the certified analytic bound, including heavily
+    damped pixels where the anchor exp underflows float32."""
+    from muse_psfr_tpu.otf.psf import zoom_anchor_bound
+    from math import factorial
+    ndir, nl, degree = 9, 7, 8
+    n, m2 = 256, 32
+    rng = np.random.default_rng(7)
+    # dphi such that t = -alpha*dphi spans 0..~120 (underflow regime
+    # included: float32 e^-t flushes to zero past t ~ 88 where the true
+    # OTF is < 1e-30 of DC)
+    dphi = rng.uniform(0, 40, (ndir, n, n)).astype(np.float32)
+    dphi[:, :, :32] *= 30.0
+    dl = rng.uniform(0, 1, (n, n)).astype(np.float32)
+    a2 = (rng.normal(size=(nl, m2, n)) / n).astype(np.float32)
+    # the production-worst relative spread: MUSE's bluest chunk has
+    # r = 0.161; mimic it with alphas spanning the same ratio
+    alpha = (-0.1 * (1.0 + 0.38 * np.linspace(0, 1, nl))).astype(np.float32)
+
+    astar = 0.5 * (alpha.min() + alpha.max())
+    rho1 = alpha / astar - 1.0
+    coef = np.stack([rho1 ** j / factorial(j) for j in range(degree + 1)],
+                    axis=1).astype(np.float32)
+
+    # exact f64 reference of what the anchor kernel approximates
+    out = []
+    for l in range(nl):
+        g = sum(np.exp(alpha[l] * dphi[d].astype(np.float64))
+                for d in range(ndir)) * dl.astype(np.float64)
+        out.append(a2[l].astype(np.float64) @ g)
+    ref = np.stack(out)
+
+    r = np.max(np.abs(rho1))
+    p = degree + 1
+    bound = (r * p / (1.0 - r)) ** p * np.exp(-p) / factorial(p)
+    # error through the contraction: ndir * bound per G pixel, times the
+    # a2 row absolute sums; plus f32 rounding of the matmul itself
+    row_l1 = np.abs(a2.astype(np.float64)).sum(axis=2).max()
+    atol = ndir * bound * row_l1 + 1e-5
+
+    u = zoom_dft.fused_exp_zoom_anchor(
+        jnp.asarray(dphi), jnp.asarray(dl), jnp.asarray(a2),
+        astar, coef, tile_j=128, precision="highest", degree=degree,
+        interpret=True)
+    assert_allclose(np.asarray(u, np.float64), ref, rtol=0, atol=atol)
+    # sanity: the analytic bound must certify something meaningful here
+    assert bound < 1e-6
+    # and the lambda-grid helper agrees with the hand computation
+    lb = 2.0 * np.pi / np.sqrt(-2.0 * alpha.astype(np.float64))
+    assert np.isclose(zoom_anchor_bound(lb, nl, degree), bound, rtol=1e-6)
+
+
+def test_zoom_anchor_bound_properties():
+    from muse_psfr_tpu.otf.psf import zoom_anchor_bound
+    muse = np.linspace(465.0, 930.0, 35)
+    b8 = zoom_anchor_bound(muse, 7, 8)
+    assert b8 < 1e-6            # certifies the production configuration
+    assert zoom_anchor_bound(muse, 7, 9) < b8   # monotone in degree
+    assert zoom_anchor_bound(muse, 6, 8) < b8   # narrower chunks help
+    # pathological grids never certify (huge bound or +inf for NaN)
+    assert zoom_anchor_bound([100.0, 10000.0], 2, 8) > 1.0
+    assert zoom_anchor_bound([np.nan], 1, 8) == np.inf
+    # empirical check of the sup-over-t bound: worst chunk of the MUSE
+    # grid, dense t grid, exact truncation error must stay under it
+    lb = muse[:7]
+    al = -0.5 * (2 * np.pi / lb) ** 2
+    astar = 0.5 * (al.min() + al.max())
+    t = np.linspace(0, 200, 20001)[None, :]       # t = -astar*D
+    x = -t
+    from math import factorial
+    rho = (al / astar)[:, None]
+    exact = np.exp(rho * x)
+    approx = np.exp(x) * sum(((rho - 1) * x) ** j / factorial(j)
+                             for j in range(9))
+    assert np.abs(approx - exact).max() <= b8 * 1.0000001
+
+
+def test_resolve_zoom_anchor(monkeypatch):
+    """"auto" engages only on the TPU Pallas path, for enough directions,
+    within the certified budget — and resolves deterministically."""
+    from muse_psfr_tpu.otf import psf as psfmod
+    from muse_psfr_tpu.config import GalacsiConfig
+    muse = np.linspace(465.0, 930.0, 35)
+    cfg = GalacsiConfig()
+    # CPU backend: stays "auto" (off at trace time, jit key unchanged)
+    assert psfmod.resolve_zoom_anchor(cfg, muse, 9).zoom_anchor == "auto"
+    monkeypatch.setattr(psfmod.jax, "default_backend", lambda: "tpu")
+    assert psfmod.resolve_zoom_anchor(cfg, muse, 9).zoom_anchor == "on"
+    # too few directions: the anchor exp cannot amortise
+    assert psfmod.resolve_zoom_anchor(cfg, muse, 1).zoom_anchor == "auto"
+    # budget violation (degree too low for the blue chunk) falls back
+    lo = cfg.with_(zoom_anchor_degree=2)
+    assert psfmod.resolve_zoom_anchor(lo, muse, 9).zoom_anchor == "auto"
+    # explicit settings pass through untouched
+    assert psfmod.resolve_zoom_anchor(
+        cfg.with_(zoom_anchor="on"), muse, 1).zoom_anchor == "on"
+    assert psfmod.resolve_zoom_anchor(
+        cfg.with_(zoom_anchor="off"), muse, 9).zoom_anchor == "off"
+
+
+def test_psf_chunk_pallas_anchor_matches_exact():
+    """The anchored chunk path must match the exact fused path within the
+    certified bound on a real multi-direction structure function."""
+    from muse_psfr_tpu.config import TINY_CONFIG
+    from muse_psfr_tpu.psd.model import simulate_psd, effective_wind_speed
+    from muse_psfr_tpu.otf.psf import (dphi_base, _psf_chunk_pallas,
+                                       pupil_otf, lambda_crop_size,
+                                       zoom_anchor_bound)
+    cfg = TINY_CONFIG
+    h = (100, 10000)
+    ws = effective_wind_speed(h, cfg)
+    psd = simulate_psd(1.0, 0.7, 25.0, jnp.ones(4, cfg.dtype), h, ws, 2, cfg)
+    base = dphi_base(psd.astype(cfg.dtype), cfg)           # ndir = 4
+    # relative alpha spread ~0.10, comparable to a MUSE 7-of-35 chunk
+    lb = jnp.asarray([760.0, 800.0, 840.0], cfg.dtype)
+    npx = lambda_crop_size(lb, cfg)
+    want = _psf_chunk_pallas(base, pupil_otf(cfg), lb, npx, cfg,
+                             interpret=True)
+    got = _psf_chunk_pallas(base, pupil_otf(cfg), lb, npx,
+                            cfg.with_(zoom_anchor="on"), interpret=True)
+    assert zoom_anchor_bound(np.asarray(lb), 3, cfg.zoom_anchor_degree) \
+        < 1e-6
+    assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=2e-6)
+
+
 def test_psf_chunk_pallas_matches_xla():
     """The fused chunk path must match the XLA zoom path exactly (both
     f32) on a multi-direction structure function."""
@@ -122,7 +248,7 @@ def test_pallas_gate_fallback_activates(monkeypatch):
     # pretend we are on a TPU backend (trace-time branch only; the
     # compile still targets the CPU test backend) with a zero budget
     monkeypatch.setattr(psfmod.jax, "default_backend", lambda: "tpu")
-    monkeypatch.setattr(psfmod, "_pallas_lambda_chunk", lambda *a: 0)
+    monkeypatch.setattr(psfmod, "_pallas_lambda_chunk", lambda *a, **k: 0)
     monkeypatch.setattr(psfmod, "_psf_chunk_pallas", boom)
     cfg2 = cfg.with_(lambda_chunk=4)     # fresh key -> fresh trace
     got = np.asarray(psfmod.psf_cube_from_base(base, lb, cfg2))
