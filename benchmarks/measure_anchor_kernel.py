@@ -1,0 +1,115 @@
+"""Direct kernel A/B: exact fused_exp_zoom vs anchored-Taylor variant.
+
+The night-level A/B (2026-08-17, TPU v5 lite) measured the anchor path
+SLOWER (227 vs 290 rows/s at npsflin=3) despite cutting transcendentals
+63 -> 9 per pixel per chunk.  This script isolates the kernels from the
+batch layer: slope-timed pallas_call invocations at the production
+bucket shapes, per (kernel, lambda-chunk, degree), reporting
+device-time per wavelength per grid column (the quantity the night
+integrates).
+
+Usage: python benchmarks/measure_anchor_kernel.py [reps]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+NDIR = 9
+DIMPSF = 40
+M2 = 4 * DIMPSF
+
+
+def slope_time(fn, n_lo=2, n_hi=12, reps=REPS):
+    """Per-call seconds via the slope method.  ``fn`` MUST return a
+    scalar (reduce inside jit): pulling a full kernel output over the
+    ~16 MB/s tunnel costs 100+ ms and swamps the measurement."""
+    fn()                                      # compile outside the timing
+
+    def run_n(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn()
+        float(np.asarray(out))                # one tiny sync pull
+        return time.perf_counter() - t0
+
+    slopes = []
+    for _ in range(reps):
+        slopes.append((run_n(n_hi) - run_n(n_lo)) / (n_hi - n_lo))
+    return float(np.median(slopes))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from muse_psfr_tpu.ops.zoom_dft import (fused_exp_zoom,
+                                            fused_exp_zoom_anchor)
+
+    @partial(jax.jit, static_argnames=())
+    def exact_sum(dphi, dl, a2, al, w):
+        return jnp.sum(fused_exp_zoom(dphi, dl, a2, al, w,
+                                      precision="high"))
+
+    @partial(jax.jit, static_argnames=("degree",))
+    def anchor_sum(dphi, dl, a2, astar, cj, degree):
+        return jnp.sum(fused_exp_zoom_anchor(dphi, dl, a2, astar, cj,
+                                             precision="high",
+                                             degree=degree))
+
+    rng = np.random.default_rng(7)
+    lb_all = np.linspace(490, 930, 35)
+    results = []
+
+    for label, n, ncols in (("windowed", 512, 384), ("full", 1280, 768)):
+        # realistic structure function: grows outward, O(1e4) nm^2
+        r2 = (np.add.outer(np.arange(n) - n / 2, np.zeros(ncols))**2
+              + np.add.outer(np.zeros(n), np.arange(ncols) - n / 2)**2)
+        dphi_np = (2e-2 * r2**0.4
+                   * (1.0 + 0.05 * rng.standard_normal((NDIR, n, ncols))))
+        dphi = jnp.asarray(dphi_np, jnp.float32)
+        dl = jnp.asarray(rng.random((n, ncols)), jnp.float32)
+
+        for k in (5, 6, 7):
+            lb = lb_all[:k]
+            alpha = -0.5 * (2 * np.pi / lb) ** 2
+            a2 = jnp.asarray(rng.standard_normal((k, M2, n)) * 1e-3,
+                             jnp.float32)
+            w = jnp.asarray(np.full((k, NDIR), 1.0 / NDIR), jnp.float32)
+            al = jnp.asarray(alpha, jnp.float32)
+
+            t = slope_time(lambda: exact_sum(dphi, dl, a2, al, w))
+            results.append({"kernel": "exact", "bucket": label, "k": k,
+                            "t_ms": round(1e3 * t, 3),
+                            "t_per_lambda_us": round(1e6 * t / k, 1)})
+            print(json.dumps(results[-1]), flush=True)
+
+            for deg in (4, 6, 8):
+                if label == "full" and not (
+                        k <= {4: 7, 5: 7, 6: 6, 7: 6, 8: 5}[deg]):
+                    continue          # known VMEM-infeasible combination
+                astar = 0.5 * (alpha.min() + alpha.max())
+                rho1 = alpha / astar - 1.0
+                from math import factorial
+                coef = np.stack([rho1**j / factorial(j)
+                                 for j in range(deg + 1)], 1) / NDIR
+                cj = jnp.asarray(coef, jnp.float32)
+                t = slope_time(lambda: anchor_sum(
+                    dphi, dl, a2, astar, cj, deg))
+                results.append({"kernel": "anchor", "bucket": label, "k": k,
+                                "degree": deg, "t_ms": round(1e3 * t, 3),
+                                "t_per_lambda_us": round(1e6 * t / k, 1)})
+                print(json.dumps(results[-1]), flush=True)
+
+    print(json.dumps({"device": str(jax.devices()[0]),
+                      "n_results": len(results)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -118,20 +118,90 @@ class Header:
         raise TypeError("unsupported header value %r" % (v,))
 
     def _card_image(self, key, value, comment):
+        """One or more 80-char card images for (key, value, comment).
+
+        Long values NEVER truncate silently: string values that overflow
+        one card use the FITS long-string (CONTINUE) convention — the
+        reference gets this behaviour from astropy, which the CLI relies
+        on when copying long ``HIERARCH ESO ...`` cards out of raw MUSE
+        headers (reference cli.py:44-55).  Cards that cannot be continued
+        (HIERARCH with an overlong value, overlong numerics) raise
+        ``ValueError`` instead of corrupting the file.
+        """
         if key in ("COMMENT", "HISTORY", ""):
-            return ("%-8s%s" % (key, value))[:80].ljust(80)
+            text = str(value)
+            # wrap onto repeated COMMENT/HISTORY cards (astropy behaviour)
+            chunks = [text[i:i + 72] for i in range(0, len(text), 72)] or [""]
+            return "".join(("%-8s%s" % (key, c)).ljust(80) for c in chunks)
         if len(key) > 8 or " " in key:
-            # HIERARCH convention
+            # HIERARCH convention: the standard's CONTINUE long-string
+            # convention is defined only for 8-char keywords, so an
+            # overflowing HIERARCH card must fail loudly.
             body = "HIERARCH %s = %s" % (key, self._format_value(value))
-        else:
-            val = self._format_value(value)
-            if val.startswith("'"):
-                body = "%-8s= %s" % (key, val)
-            else:
-                body = "%-8s= %20s" % (key, val)
+            if comment:
+                body += " / " + comment
+            if len(body) > 80:
+                raise ValueError(
+                    "FITS card too long and not continuable (HIERARCH "
+                    "keyword %r, %d > 80 chars); shorten the value or "
+                    "comment" % (key, len(body)))
+            return body.ljust(80)
+        if isinstance(value, str):
+            return self._string_card_images(key, value, comment)
+        body = "%-8s= %20s" % (key, self._format_value(value))
         if comment:
             body += " / " + comment
-        return body[:80].ljust(80)
+        if len(body) > 80:
+            if len(body) - len(" / " + comment if comment else "") <= 80:
+                raise ValueError(
+                    "FITS comment overflows card for keyword %r; shorten "
+                    "the comment (%d > 80 chars total)" % (key, len(body)))
+            raise ValueError("FITS card too long for keyword %r (%d > 80 "
+                             "chars)" % (key, len(body)))
+        return body.ljust(80)
+
+    @staticmethod
+    def _string_card_images(key, value, comment):
+        """String-valued card, continued per the FITS long-string
+        convention when it overflows: every segment but the last ends
+        with ``&`` inside the quotes, continuation cards start with
+        ``CONTINUE``, and an overlong comment rides on ``'&'``
+        continuation cards."""
+        esc = value.replace("'", "''")
+        pad = max(0, 8 - len(value))   # "'%-8s'" minimum string width
+        one = "%-8s= '%s'%s" % (key, esc, " " * pad)
+        if comment:
+            one += " / " + comment
+        if len(one) <= 80:
+            return one.ljust(80)
+        # split the ESCAPED text so no card exceeds 70 value columns,
+        # never splitting an escaped quote pair; keep one column for '&'
+        segs, i, room = [], 0, 67
+        while i < len(esc):
+            j = min(i + room, len(esc))
+            # don't split a '' pair: count trailing quotes of the cut
+            k = j
+            while k > i and esc[k - 1] == "'":
+                k -= 1
+            if (j - k) % 2 == 1 and j < len(esc):
+                j -= 1
+            segs.append(esc[i:j])
+            i = j
+        cards = []
+        for n, seg in enumerate(segs):
+            last = n == len(segs) - 1 and not comment
+            s = "'%s%s'" % (seg, "" if last else "&")
+            prefix = ("%-8s= " % key) if n == 0 else "CONTINUE  "
+            cards.append((prefix + s).ljust(80))
+        if comment:
+            # comment continuation: '&' string segments carrying ' / ...'
+            rest = comment
+            while rest:
+                take = rest[:80 - len("CONTINUE  '&' / ")]
+                rest = rest[len(take):]
+                s = "'&'" if rest else "''"
+                cards.append(("CONTINUE  %s / %s" % (s, take)).ljust(80))
+        return "".join(cards)
 
     def tobytes(self):
         out = [self._card_image(k, v, c) for k, v, c in self._cards]
@@ -189,6 +259,16 @@ def _read_header(stream):
             if key == "END":
                 done = True
                 break
+            if key == "CONTINUE":
+                # FITS long-string convention: append to the previous
+                # card's string value if it ends with the '&' sentinel
+                seg = _parse_header_value(card[8:])
+                if (hdr._cards and isinstance(hdr._cards[-1][1], str)
+                        and hdr._cards[-1][1].endswith("&")
+                        and isinstance(seg, str)):
+                    k, v, c = hdr._cards[-1]
+                    hdr._cards[-1] = (k, v[:-1] + seg, c)
+                continue
             if key in ("COMMENT", "HISTORY", ""):
                 if card[8:].strip():
                     hdr.append(key, card[8:].rstrip())

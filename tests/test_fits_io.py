@@ -180,3 +180,80 @@ def test_fits_open_rejects_malformed_inputs():
     # the intact bytes still round-trip
     h = fits_open(io.BytesIO(data))
     assert [x.name for x in h][0] == "PRIMARY"
+
+
+def test_long_string_card_continue_roundtrip():
+    """String values past column 80 use the FITS long-string (CONTINUE)
+    convention instead of silently truncating — the reference gets this
+    from astropy, whose headers the CLI copies out of raw MUSE files
+    (reference cli.py:44-55)."""
+    import pytest
+
+    long_val = ("MUSE observation of an extremely long target name "
+                "with embedded 'quotes' and trailing detail " * 3).strip()
+    h = Header()
+    h["OBJECT"] = long_val
+    h["LONGC"] = ("short", "a comment that is much too long to fit on one "
+                  "eighty-column card image and must continue " * 2)
+    hdul = _roundtrip(HDUList([PrimaryHDU(header=h)]))
+    assert hdul[0].header["OBJECT"] == long_val
+    assert hdul[0].header["LONGC"] == "short"
+
+    # the card images themselves stay standard-conformant 80-col records
+    raw = h.tobytes()
+    assert len(raw) % 2880 == 0
+    cards = [raw[i:i + 80].decode("ascii") for i in range(0, len(raw), 80)]
+    assert any(c.startswith("CONTINUE  ") for c in cards)
+    # every non-final segment of OBJECT ends with the '&' sentinel
+    start = next(i for i, c in enumerate(cards) if c.startswith("OBJECT"))
+    obj_cards = [cards[start]]
+    for c in cards[start + 1:]:
+        if not c.startswith("CONTINUE"):
+            break
+        obj_cards.append(c)
+    assert len(obj_cards) > 1
+    for c in obj_cards[:-1]:
+        assert "&'" in c
+
+    # cards that CANNOT be continued fail loudly, never corrupt
+    h2 = Header()
+    h2["HIERARCH ESO OBS LONG NAME"] = "x" * 80
+    with pytest.raises(ValueError):
+        h2.tobytes()
+
+
+def test_reads_externally_written_continue_header():
+    """A standard-conformant CONTINUE header written by another library
+    (byte-exact astropy layout, hand-built) parses to the full value."""
+    val = ("A very long OBS NAME written by astropy into a raw MUSE "
+           "header that spans multiple card images for sure........")
+    seg1, seg2 = val[:60], val[60:]
+    cards = [
+        "SIMPLE  =                    T",
+        "BITPIX  =                    8",
+        "NAXIS   =                    0",
+        "LONGSTRN= 'OGIP 1.0'           / The OGIP long string convention may be used.",
+        "OBJECT  = '%s&'" % seg1,
+        "CONTINUE  '%s' / a comment" % seg2,
+        "END",
+    ]
+    raw = "".join(c.ljust(80) for c in cards).encode("ascii")
+    raw += b" " * ((-len(raw)) % 2880)
+    hdul = fits_open(io.BytesIO(raw))
+    assert hdul[0].header["OBJECT"] == val
+
+
+def test_exact_80_column_card_unchanged():
+    """Values that exactly fill one card stay on one card (no gratuitous
+    CONTINUE)."""
+    # '%-8s= ' + quote + 66 chars + quote = exactly 80 columns
+    v = "x" * 66
+    h = Header()
+    h["KEY"] = v
+    raw = h.tobytes()
+    cards = [raw[i:i + 80].decode("ascii") for i in range(0, len(raw), 80)]
+    assert not any(c.startswith("CONTINUE") for c in cards)
+    buf = io.BytesIO()
+    HDUList([PrimaryHDU(header=h)]).writeto(buf)
+    buf.seek(0)
+    assert fits_open(buf)[0].header["KEY"] == v
