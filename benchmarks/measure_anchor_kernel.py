@@ -26,7 +26,7 @@ DIMPSF = 40
 M2 = 4 * DIMPSF
 
 
-def slope_time(fn, n_lo=2, n_hi=12, reps=REPS):
+def slope_time(fn, n_lo=1, n_hi=4, reps=REPS):
     """Per-call seconds via the slope method.  ``fn`` MUST return a
     scalar (reduce inside jit): pulling a full kernel output over the
     ~16 MB/s tunnel costs 100+ ms and swamps the measurement."""
@@ -52,16 +52,28 @@ def main():
     from muse_psfr_tpu.ops.zoom_dft import (fused_exp_zoom,
                                             fused_exp_zoom_anchor)
 
+    # 32 kernel invocations per jitted call: one call's device time
+    # (~5-20 ms) then dominates the ~37 ms sync-pull latency and host
+    # jitter of the tunneled link.  The carry perturbs the input each
+    # iteration (1 + 1e-12 s) so XLA cannot fold the loop body.
+    LOOP = 32
+
     @partial(jax.jit, static_argnames=())
     def exact_sum(dphi, dl, a2, al, w):
-        return jnp.sum(fused_exp_zoom(dphi, dl, a2, al, w,
-                                      precision="high"))
+        def body(_, s):
+            out = fused_exp_zoom(dphi * (1.0 + 1e-12 * s), dl, a2, al, w,
+                                 precision="high")
+            return s + 1e-30 * out[0, 0, 0]
+        return jax.lax.fori_loop(0, LOOP, body, jnp.float32(0))
 
     @partial(jax.jit, static_argnames=("degree",))
     def anchor_sum(dphi, dl, a2, astar, cj, degree):
-        return jnp.sum(fused_exp_zoom_anchor(dphi, dl, a2, astar, cj,
-                                             precision="high",
-                                             degree=degree))
+        def body(_, s):
+            out = fused_exp_zoom_anchor(dphi * (1.0 + 1e-12 * s), dl, a2,
+                                        astar, cj, precision="high",
+                                        degree=degree)
+            return s + 1e-30 * out[0, 0, 0]
+        return jax.lax.fori_loop(0, LOOP, body, jnp.float32(0))
 
     rng = np.random.default_rng(7)
     lb_all = np.linspace(490, 930, 35)
@@ -86,8 +98,8 @@ def main():
 
             t = slope_time(lambda: exact_sum(dphi, dl, a2, al, w))
             results.append({"kernel": "exact", "bucket": label, "k": k,
-                            "t_ms": round(1e3 * t, 3),
-                            "t_per_lambda_us": round(1e6 * t / k, 1)})
+                            "t_ms": round(1e3 * t / LOOP, 3),
+                            "t_per_lambda_us": round(1e6 * t / LOOP / k, 1)})
             print(json.dumps(results[-1]), flush=True)
 
             for deg in (4, 6, 8):
@@ -103,8 +115,8 @@ def main():
                 t = slope_time(lambda: anchor_sum(
                     dphi, dl, a2, astar, cj, deg))
                 results.append({"kernel": "anchor", "bucket": label, "k": k,
-                                "degree": deg, "t_ms": round(1e3 * t, 3),
-                                "t_per_lambda_us": round(1e6 * t / k, 1)})
+                                "degree": deg, "t_ms": round(1e3 * t / LOOP, 3),
+                                "t_per_lambda_us": round(1e6 * t / LOOP / k, 1)})
                 print(json.dumps(results[-1]), flush=True)
 
     print(json.dumps({"device": str(jax.devices()[0]),
