@@ -79,7 +79,25 @@ def main():
     lb_all = np.linspace(490, 930, 35)
     results = []
 
-    for label, n, ncols in (("windowed", 512, 384), ("full", 1280, 768)):
+    # candidates per bucket: ("exact", k, None) or ("anchor", k, degree).
+    # Only bound-certifiable (budget 1e-6, see otf/psf.py:zoom_anchor_bound)
+    # and VMEM-feasible combinations; the first round measured degree 8
+    # break-even-or-worse and degree 4 uncertifiable at useful k, so this
+    # round scans the certifiable frontier (k, k-1) plus large-k exact.
+    CANDIDATES = {
+        ("windowed", 512, 384): [
+            ("exact", 7, None), ("exact", 9, None), ("exact", 12, None),
+            ("anchor", 5, 5), ("anchor", 6, 6), ("anchor", 7, 6),
+            ("anchor", 7, 8), ("anchor", 9, 8),
+        ],
+        ("full", 1280, 768): [
+            ("exact", 5, None), ("exact", 7, None),
+            ("anchor", 4, 4), ("anchor", 5, 5), ("anchor", 6, 6),
+        ],
+    }
+
+    from math import factorial
+    for (label, n, ncols), cands in CANDIDATES.items():
         # realistic structure function: grows outward, O(1e4) nm^2
         r2 = (np.add.outer(np.arange(n) - n / 2, np.zeros(ncols))**2
               + np.add.outer(np.zeros(n), np.arange(ncols) - n / 2)**2)
@@ -88,36 +106,33 @@ def main():
         dphi = jnp.asarray(dphi_np, jnp.float32)
         dl = jnp.asarray(rng.random((n, ncols)), jnp.float32)
 
-        for k in (5, 6, 7):
+        for kind, k, deg in cands:
             lb = lb_all[:k]
             alpha = -0.5 * (2 * np.pi / lb) ** 2
             a2 = jnp.asarray(rng.standard_normal((k, M2, n)) * 1e-3,
                              jnp.float32)
-            w = jnp.asarray(np.full((k, NDIR), 1.0 / NDIR), jnp.float32)
             al = jnp.asarray(alpha, jnp.float32)
-
-            t = slope_time(lambda: exact_sum(dphi, dl, a2, al, w))
-            results.append({"kernel": "exact", "bucket": label, "k": k,
-                            "t_ms": round(1e3 * t / LOOP, 3),
-                            "t_per_lambda_us": round(1e6 * t / LOOP / k, 1)})
-            print(json.dumps(results[-1]), flush=True)
-
-            for deg in (4, 6, 8):
-                if label == "full" and not (
-                        k <= {4: 7, 5: 7, 6: 6, 7: 6, 8: 5}[deg]):
-                    continue          # known VMEM-infeasible combination
+            if kind == "exact":
+                w = jnp.asarray(np.full((k, NDIR), 1.0 / NDIR), jnp.float32)
+                t = slope_time(lambda: exact_sum(dphi, dl, a2, al, w))
+                results.append({"kernel": "exact", "bucket": label, "k": k,
+                                "t_ms": round(1e3 * t / LOOP, 3),
+                                "t_per_lambda_us":
+                                    round(1e6 * t / LOOP / k, 2)})
+            else:
                 astar = 0.5 * (alpha.min() + alpha.max())
                 rho1 = alpha / astar - 1.0
-                from math import factorial
                 coef = np.stack([rho1**j / factorial(j)
                                  for j in range(deg + 1)], 1) / NDIR
                 cj = jnp.asarray(coef, jnp.float32)
                 t = slope_time(lambda: anchor_sum(
                     dphi, dl, a2, astar, cj, deg))
                 results.append({"kernel": "anchor", "bucket": label, "k": k,
-                                "degree": deg, "t_ms": round(1e3 * t / LOOP, 3),
-                                "t_per_lambda_us": round(1e6 * t / LOOP / k, 1)})
-                print(json.dumps(results[-1]), flush=True)
+                                "degree": deg,
+                                "t_ms": round(1e3 * t / LOOP, 3),
+                                "t_per_lambda_us":
+                                    round(1e6 * t / LOOP / k, 2)})
+            print(json.dumps(results[-1]), flush=True)
 
     print(json.dumps({"device": str(jax.devices()[0]),
                       "n_results": len(results)}))

@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 100
 CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 25
 REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+NPSFLIN = int(os.environ.get("MUSE_PSFR_NPSFLIN", "3"))
 NL = 35
 
 
@@ -47,20 +48,29 @@ def main():
     logging.getLogger("muse_psfr.batch").addHandler(counter)
 
     cfg = GalacsiConfig()
-    # A/B knob: MUSE_PSFR_ANCHOR=0 forces the exact per-wavelength exp
-    # kernel (round-3 behaviour); default lets the batch layer certify
-    # and engage the anchored-Taylor kernel (cfg.zoom_anchor="auto")
-    if os.environ.get("MUSE_PSFR_ANCHOR") == "0":
+    # A/B knob: MUSE_PSFR_ANCHOR=1 engages the anchored-Taylor kernel
+    # (cfg.zoom_anchor="auto"); the default is the exact per-wavelength
+    # exp kernel (the anchor measured SLOWER end-to-end, 228 vs 268
+    # rows/s, 2026-08-17 — see RESULTS.md)
+    if os.environ.get("MUSE_PSFR_ANCHOR") == "1":
+        cfg = cfg.with_(zoom_anchor="auto")
+    elif os.environ.get("MUSE_PSFR_ANCHOR") == "0":
         cfg = cfg.with_(zoom_anchor="off")
+    # A/B knob: MUSE_PSFR_LAMBDA_CHUNK overrides the fused-kernel
+    # wavelength chunk (cfg.pallas_lambda_chunk, default 12; VMEM still
+    # caps the full bucket at 7)
+    if os.environ.get("MUSE_PSFR_LAMBDA_CHUNK"):
+        cfg = cfg.with_(pallas_lambda_chunk=int(
+            os.environ["MUSE_PSFR_LAMBDA_CHUNK"]))
     lbda = np.linspace(490, 930, NL)
     seeing, GL, L0, mask = build_rows(ROWS)
     okw = rows_windowable(seeing, GL, L0, mask, float(lbda.max()), cfg,
-                          default_support_bucket(cfg), npsflin=3)
+                          default_support_bucket(cfg), npsflin=NPSFLIN)
     print(json.dumps({"windowable_rows": int(okw.sum()), "rows": ROWS}),
           flush=True)
 
     def run():
-        return process_batch(seeing, GL, L0, mask, lbda, npsflin=3,
+        return process_batch(seeing, GL, L0, mask, lbda, npsflin=NPSFLIN,
                              cfg=cfg, chunk=CHUNK)
 
     t0 = time.perf_counter()
@@ -81,7 +91,7 @@ def main():
 
     best = min(times)
     print(json.dumps({
-        "rows": ROWS, "chunk": CHUNK, "npsflin": 3,
+        "rows": ROWS, "chunk": CHUNK, "npsflin": NPSFLIN,
         "device": str(jax.devices()[0]),
         "best_s": round(best, 4), "median_s": round(float(np.median(times)), 4),
         "best_rows_per_sec": round(ROWS / best, 1),

@@ -85,6 +85,19 @@ def main():
     rows.append(("condition sweep 32x32 (seeing, GL) x 35 lambda",
                  32 * 32, t))
 
+    # 5a. 3-axis sweep actually varying L0 (16x16x8 = 2048 points),
+    # including two L0 values below cfg.dphi_split_l0_min (5 m): those
+    # grid points run the exact structure-function transform bucket (the
+    # certified Taylor split is out of its domain), so this row
+    # exercises all three executables the sweep planner can emit
+    sv16 = np.linspace(0.6, 1.6, 16)
+    gv16 = np.linspace(0.3, 0.9, 16)
+    lv8 = np.array([3.5, 4.5, 8.0, 11.0, 14.0, 18.0, 23.0, 29.0])
+    t, _ = timed(lambda: condition_sweep(sv16, gv16, lv8, lbda=lb35,
+                                         cfg=cfg, chunk=32))
+    rows.append(("condition sweep 16x16x8 (seeing, GL, L0) x 35 lambda",
+                 16 * 16 * 8, t))
+
     base = measure_baseline()
     from muse_psfr_tpu.parallel.batch import fft_available
     mode = "FFT" if fft_available() else "FFT-free fallback (MXU DFT)"

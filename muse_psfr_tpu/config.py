@@ -44,6 +44,22 @@ class GalacsiConfig:
                                # serial per-lambda loop underutilises the
                                # chip (4.3x measured); each step holds
                                # ~rows*lambda_chunk*ndir*dim^2 floats
+    pallas_lambda_chunk: int = 12  # wavelength chunk for the FUSED Pallas
+                               # zoom kernel (0 = use lambda_chunk).  The
+                               # kernel never materialises the OTF in HBM,
+                               # so the XLA-path memory bound above does
+                               # not apply — only the VMEM gate
+                               # (otf/psf.py:_pallas_lambda_chunk) caps it:
+                               # the dim=1280 full-window bucket still
+                               # runs at its VMEM-fit chunk 7, the reduced
+                               # windowed bucket at 12 (3 kernel launches
+                               # per 35-lambda cube instead of 5, pad 1).
+                               # Measured on TPU v5 lite (2026-08-17):
+                               # 12 -> windowed-kernel 5.5 vs 6.5
+                               # us/lambda and the 9-direction 100-row
+                               # night 309 vs 268 rows/s (1.16x); k=9
+                               # measured WORSE than both 7 and 12
+                               # (misaligned nl*m2 output tiling).
 
     # --- telemetry validity limits (reference psfrec.py:30-31) ------------
     min_l0: float = 8.0        # minimum valid outer scale [m]
@@ -124,7 +140,7 @@ class GalacsiConfig:
                                # Must be a multiple of 128 (tile-aligned);
                                # each distinct value is a separate
                                # compilation of the pipeline.
-    zoom_anchor: str = "auto"  # anchored-Taylor evaluation of the OTF
+    zoom_anchor: str = "off"   # anchored-Taylor evaluation of the OTF
                                # damping exp(alpha_l * Dphi_d) inside the
                                # fused Pallas kernel: ONE anchor
                                # exponential e^x per direction per
@@ -145,6 +161,19 @@ class GalacsiConfig:
                                # Traced-lambda standalone calls see
                                # "auto" as off (certification needs the
                                # host-side wavelength grid).
+                               # DEFAULT OFF: measured a net LOSS on TPU
+                               # v5 lite (2026-08-17) — the 9-direction
+                               # 100-row night ran 228 vs 268 rows/s
+                               # (anchor deg8 vs exact), and the kernel
+                               # A/B shows the saved exponentials are
+                               # repaid with interest in VMEM scratch
+                               # read-modify-writes of the (degree+1)
+                               # power sums (7.9 vs 6.5 us/lambda
+                               # windowed, ~equal at best on the full
+                               # bucket across every certifiable
+                               # (chunk, degree)); see RESULTS.md
+                               # "anchored-Taylor" and
+                               # benchmarks/measure_anchor_kernel.py.
     zoom_anchor_degree: int = 8   # Taylor degree of the per-wavelength
                                # reconstruction; the certified bound at
                                # the MUSE grid's worst (bluest) chunk is

@@ -445,7 +445,7 @@ def _anchor_lambda_chunk(cfg: GalacsiConfig, nl: int, nrows: int) -> int:
     anchored Pallas path — shared with the host-side certification
     (:func:`resolve_zoom_anchor`), which must predict the exact chunking
     the traced code performs."""
-    k = max(1, min(cfg.lambda_chunk, nl))
+    k = max(1, min(cfg.pallas_lambda_chunk or cfg.lambda_chunk, nl))
     k_fit = _pallas_lambda_chunk(cfg, nrows, anchor=True)
     return 0 if k_fit < 1 else max(1, min(k, k_fit))
 
@@ -808,7 +808,12 @@ def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig):
         if k_fit < 1:
             pallas_ok = False       # cannot fit even one wavelength
         else:
-            k = max(1, min(k, k_fit))
+            # the fused kernel never materialises the OTF in HBM: its
+            # chunk is gated by VMEM only, and larger chunks win (fewer
+            # Dphi re-reads + launches; 1.16x on the 9-direction night
+            # at the windowed bucket's 12 vs 7 — config.py)
+            k = max(1, min(cfg.pallas_lambda_chunk or cfg.lambda_chunk,
+                           k_fit, nl))
     if jax.default_backend() == "cpu" and not pallas_ok:
         k = 1  # no parallel gain on one host core; chunking only adds memory
     if k == 1 and not pallas_ok:

@@ -14,6 +14,7 @@ program; the batch axis is
 """
 
 import os
+import time
 from functools import partial
 
 import numpy as np
@@ -671,6 +672,7 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     guard handling.
     """
     from ..fit.moffat_fit import fit_moffat_cube_packed
+    from ..utils.profiling import stage_timer, logger as profile_logger
     cfg = cfg or GalacsiConfig()
     fit_dtype = fit_dtype or cfg.fit_dtype
     seeing = np.atleast_1d(np.asarray(seeing, np.float64))
@@ -678,9 +680,10 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     L0 = np.atleast_1d(np.asarray(L0, np.float64))
     gs_mask = np.atleast_2d(np.asarray(gs_mask, np.float64))
 
-    cfg_r, groups, chunk_n, table, lbda_j, h_t, wind_speed, sharding = \
-        _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
-                    chunk, mesh, _force_full)
+    with stage_timer("batch.plan"):
+        cfg_r, groups, chunk_n, table, lbda_j, h_t, wind_speed, sharding = \
+            _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
+                        chunk, mesh, _force_full)
 
     fits, idxs, psums, guards = [], [], [], []
     parts = []             # device concats already copying to the host
@@ -726,6 +729,7 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
             part_start = len(fits)
 
     count = 0
+    _t_disp = time.perf_counter()
     for gcfg, gidx in groups:
         gb = gidx.shape[0]
         gt = table[gidx]
@@ -779,6 +783,10 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                     on_chunk(idxs[-1], np.asarray(fits[-1]))
                 count += n
 
+    # enqueue-side wall time of the chunk loop (all dispatches are async:
+    # device compute overlaps; this is pure host/dispatch overhead)
+    profile_logger.debug("stage %-24s %8.3f ms", "batch.dispatch_enqueue",
+                         (time.perf_counter() - _t_disp) * 1e3)
     total_psum = jnp.sum(jnp.stack(psums), axis=0)
     guard_vec = jnp.stack(guards)
     order = np.concatenate(idxs)
@@ -790,20 +798,24 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
         if not in_order:
             fit = fit[jnp.asarray(np.argsort(order))]
         return fit, total_psum, guard_vec
-    psf_mean = total_psum / count
-    fit_mean = fit_moffat_cube_packed(psf_mean, dtype=fit_dtype)
+    with stage_timer("batch.mean_enqueue"):
+        psf_mean = total_psum / count
+        fit_mean = fit_moffat_cube_packed(psf_mean, dtype=fit_dtype)
     # `parts` are already on their way to the host; the final packed
-    # pull carries only the remainder + the mean arrays + the guards
+    # pull carries only the remainder + the mean arrays + the guards.
+    # NOTE the pull timer absorbs ALL outstanding device compute (the
+    # dispatches above are async) plus the transfer + link latency.
     rem = fits[part_start:]
-    if rem:
-        last_f = jnp.concatenate(rem, axis=0) if len(rem) > 1 else rem[0]
-        last_np, psf_mean_np, fit_mean_np, guard_np = pull_packed(
-            last_f, psf_mean, fit_mean, guard_vec)
-        part_np = [np.asarray(p) for p in parts] + [last_np]
-    else:
-        psf_mean_np, fit_mean_np, guard_np = pull_packed(
-            psf_mean, fit_mean, guard_vec)
-        part_np = [np.asarray(p) for p in parts]
+    with stage_timer("batch.final_pull"):
+        if rem:
+            last_f = jnp.concatenate(rem, axis=0) if len(rem) > 1 else rem[0]
+            last_np, psf_mean_np, fit_mean_np, guard_np = pull_packed(
+                last_f, psf_mean, fit_mean, guard_vec)
+            part_np = [np.asarray(p) for p in parts] + [last_np]
+        else:
+            psf_mean_np, fit_mean_np, guard_np = pull_packed(
+                psf_mean, fit_mean, guard_vec)
+            part_np = [np.asarray(p) for p in parts]
     fit_np = (np.concatenate(part_np, axis=0) if len(part_np) > 1
               else part_np[0])
     # the bucketed dispatch reorders rows: restore input order (on the

@@ -128,7 +128,9 @@ def test_resolve_zoom_anchor(monkeypatch):
     from muse_psfr_tpu.otf import psf as psfmod
     from muse_psfr_tpu.config import GalacsiConfig
     muse = np.linspace(465.0, 930.0, 35)
-    cfg = GalacsiConfig()
+    # the DEFAULT is "off" (measured slower end-to-end, see config.py);
+    # "auto" is the opt-in certify-and-engage mode under test here
+    cfg = GalacsiConfig(zoom_anchor="auto")
     # CPU backend: stays "auto" (off at trace time, jit key unchanged)
     assert psfmod.resolve_zoom_anchor(cfg, muse, 9).zoom_anchor == "auto"
     monkeypatch.setattr(psfmod.jax, "default_backend", lambda: "tpu")
@@ -201,9 +203,16 @@ def test_pallas_vmem_chunk_gate():
     from muse_psfr_tpu.config import TINY_CONFIG
     cfg = GalacsiConfig()
     # the known-fitting production case must keep EXACTLY its chunk of 7
-    # (a silent shrink would change the measured kernel shape)
-    assert cfg.lambda_chunk == 7
-    assert min(_pallas_lambda_chunk(cfg, cfg.dim), cfg.lambda_chunk) == 7
+    # (a silent shrink would change the measured kernel shape): the
+    # full-window bucket is VMEM-capped below pallas_lambda_chunk=12
+    assert cfg.lambda_chunk == 7 and cfg.pallas_lambda_chunk == 12
+    assert min(_pallas_lambda_chunk(cfg, cfg.dim),
+               cfg.pallas_lambda_chunk) == 7
+    # the dim=1280 reduced-window bucket (S=320 -> 640 rows) has VMEM
+    # headroom past 12: it runs the full pallas_lambda_chunk (the
+    # measured 1.16x night win, config.py) — 3 launches per 35-lambda
+    # cube, pad 1
+    assert _pallas_lambda_chunk(cfg, 640) >= 12
     # dim=2048 full window: must shrink but still fit at least one
     k2 = _pallas_lambda_chunk(GalacsiConfig(dim=2048), 2048)
     assert 1 <= k2 < 7
