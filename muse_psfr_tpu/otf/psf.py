@@ -440,14 +440,25 @@ def _pallas_lambda_chunk(cfg: GalacsiConfig, nrows: int,
     return max(0, (budget - fixed) // per_k)
 
 
+def _pallas_chunk_policy(cfg: GalacsiConfig, k_fit: int) -> int:
+    """The wavelength-chunk CAP for the fused Pallas kernel given its
+    VMEM-fit chunk ``k_fit``: ``pallas_lambda_chunk`` when that fits in
+    full, else the ``lambda_chunk`` default.  Rationale in
+    :func:`psf_cube_from_base` (measured k=12 fast, k=9 slow, k=7
+    baseline at the dim=1280 windowed shape)."""
+    cap = cfg.pallas_lambda_chunk or cfg.lambda_chunk
+    return cap if k_fit >= cap else cfg.lambda_chunk
+
+
 def _anchor_lambda_chunk(cfg: GalacsiConfig, nl: int, nrows: int) -> int:
     """The wavelength chunk size ``psf_cube_from_base`` will use on the
     anchored Pallas path — shared with the host-side certification
     (:func:`resolve_zoom_anchor`), which must predict the exact chunking
     the traced code performs."""
-    k = max(1, min(cfg.pallas_lambda_chunk or cfg.lambda_chunk, nl))
     k_fit = _pallas_lambda_chunk(cfg, nrows, anchor=True)
-    return 0 if k_fit < 1 else max(1, min(k, k_fit))
+    if k_fit < 1:
+        return 0
+    return max(1, min(_pallas_chunk_policy(cfg, k_fit), k_fit, nl))
 
 
 def zoom_anchor_bound(lbda_nm, k: int, degree: int) -> float:
@@ -811,9 +822,13 @@ def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig):
             # the fused kernel never materialises the OTF in HBM: its
             # chunk is gated by VMEM only, and larger chunks win (fewer
             # Dphi re-reads + launches; 1.16x on the 9-direction night
-            # at the windowed bucket's 12 vs 7 — config.py)
-            k = max(1, min(cfg.pallas_lambda_chunk or cfg.lambda_chunk,
-                           k_fit, nl))
+            # at the windowed bucket's 12 vs 7 — config.py).  The big
+            # chunk is used ONLY when it fits in full: intermediate
+            # VMEM-clamped sizes are not known-good (k=9 measured
+            # SLOWER than both 7 and 12 at the dim=1280 windowed
+            # shape), so a clamp falls back to the measured
+            # lambda_chunk default instead
+            k = max(1, min(_pallas_chunk_policy(cfg, k_fit), k_fit, nl))
     if jax.default_backend() == "cpu" and not pallas_ok:
         k = 1  # no parallel gain on one host core; chunking only adds memory
     if k == 1 and not pallas_ok:

@@ -213,6 +213,17 @@ def test_pallas_vmem_chunk_gate():
     # measured 1.16x night win, config.py) — 3 launches per 35-lambda
     # cube, pad 1
     assert _pallas_lambda_chunk(cfg, 640) >= 12
+    # chunk policy: the big chunk only when it fits IN FULL —
+    # VMEM-clamped intermediate sizes fall back to lambda_chunk (k=9
+    # measured slower than both 7 and 12 at the windowed shape).  The
+    # dim=2048 reduced-window bucket (k_fit 9) therefore keeps 7.
+    from muse_psfr_tpu.otf.psf import _pallas_chunk_policy
+    assert _pallas_chunk_policy(cfg, 13) == 12
+    assert _pallas_chunk_policy(cfg, 12) == 12
+    assert _pallas_chunk_policy(cfg, 9) == 7
+    cfg2k = GalacsiConfig(dim=2048)
+    assert _pallas_lambda_chunk(cfg2k, 1024) == 9
+    assert _pallas_chunk_policy(cfg2k, _pallas_lambda_chunk(cfg2k, 1024)) == 7
     # dim=2048 full window: must shrink but still fit at least one
     k2 = _pallas_lambda_chunk(GalacsiConfig(dim=2048), 2048)
     assert 1 <= k2 < 7
