@@ -195,6 +195,34 @@ class GalacsiConfig:
                                # never hits HBM and the structure
                                # function is read once per chunk; honours
                                # the symmetry fold and support windows.
+    pallas_disc_skip: bool = False  # skip fused-kernel work outside the
+                               # pupil-autocorrelation (diffraction OTF)
+                               # support, where `G * dl` vanishes no
+                               # matter the damping: the full-window
+                               # slab's corner blocks, ~10% of its VPU
+                               # exp work, dropped by a static column-
+                               # group split of the kernel call
+                               # (otf/psf.py:_disc_block_mask,
+                               # ops/zoom_dft.py:fused_exp_zoom_disc;
+                               # certified <=1e-12 of the PSF peak).
+                               # MEASURED NEGATIVE end-to-end on TPU v5
+                               # lite (2026-08-17): the isolated kernel
+                               # wins 2-4% at ndir=9, but the night runs
+                               # ~5% SLOWER (291 vs 306 rows/s median,
+                               # 4/4 alternating reps) — the two extra
+                               # launches + the u-concatenation per
+                               # lambda chunk repay the savings
+                               # (benchmarks/measure_disc_skip.py).
+                               # Default off; the machinery stays for
+                               # chips/shapes where launch overhead is
+                               # smaller.  No-op on windows fully inside
+                               # the disc (the default windowed bucket).
+    pallas_disc_min_ndir: int = 4  # engage the disc split only at
+                               # ndir >= this: the extra kernel launches
+                               # + small-group pipeline ramp cost ~20%
+                               # at ndir=1; at ndir=9 the isolated
+                               # kernel wins but the pipeline loses
+                               # (see pallas_disc_skip)
 
     # --- derived ------------------------------------------------------------
     @property

@@ -33,6 +33,8 @@ smaller and stays in XLA.
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -197,6 +199,74 @@ def fused_exp_zoom_anchor(dphi, dl, a2, astar, coef, tile_j: int = 128,
         ),
         interpret=interpret,
     )(astar, coef, dphi, dl, a2)
+
+
+def disc_column_groups(block_mask, tile_j: int = 128,
+                       row_block: int = 128):
+    """Static column-group decomposition of a diffraction-support mask.
+
+    ``block_mask``: (J, RB) int-like, 1 = live — per column tile the
+    live row blocks must be contiguous (the disc-chord property of the
+    pupil-autocorrelation support; tiles violating it are treated as
+    fully live).  Returns a list of ``(col_lo, col_hi, row_lo, row_hi)``
+    element ranges: maximal runs of adjacent column tiles sharing the
+    same live row range.  Used by :func:`fused_exp_zoom_disc` to invoke
+    the plain kernel per group on statically sliced operands.
+    """
+    mask = np.asarray(block_mask)
+    nj, nrb = mask.shape
+    ranges = []
+    for j in range(nj):
+        live = np.flatnonzero(mask[j])
+        if live.size and live.size == live[-1] - live[0] + 1:
+            ranges.append((int(live[0]), int(live[-1]) + 1))
+        else:                       # empty or non-contiguous: full rows
+            ranges.append((0, nrb))
+    groups = []
+    for j, rng in enumerate(ranges):
+        if groups and groups[-1][2:] == (rng[0] * row_block,
+                                         rng[1] * row_block):
+            lo, hi, rlo, rhi = groups[-1]
+            groups[-1] = (lo, (j + 1) * tile_j, rlo, rhi)
+        else:
+            groups.append((j * tile_j, (j + 1) * tile_j,
+                           rng[0] * row_block, rng[1] * row_block))
+    return groups
+
+
+def fused_exp_zoom_disc(dphi, dl, a2, alpha, w, block_mask,
+                        tile_j: int = 128, row_block: int = 128,
+                        precision: str = "highest",
+                        interpret: bool = False):
+    """:func:`fused_exp_zoom` with dead diffraction-support blocks
+    skipped by a static column-group split.
+
+    ``block_mask``: (ncols // tile_j, N // row_block) int, 1 = compute,
+    0 = the (row_block, tile_j) block of ``dl`` is numerically zero
+    there (outside the pupil-autocorrelation disc; see
+    otf/psf.py:_disc_block_mask).  Because the dead blocks of each
+    column tile sit at the top/bottom of the disc chord, adjacent
+    column tiles with identical live row ranges form groups that run
+    the UNMODIFIED plain kernel on statically row-sliced operands —
+    skipping both the damping exponentials and the contraction FLOPs of
+    the dead rows with no in-kernel branching (predicated and
+    finer-grid variants measured slower than the savings,
+    benchmarks/measure_disc_skip.py).  Exact up to the dropped
+    ``|dl| <= 1e-12 * peak`` roundoff support.
+    """
+    ndir, n, ncols = dphi.shape
+    mask = np.asarray(block_mask)
+    assert mask.shape == (ncols // tile_j, n // row_block), (
+        mask.shape, ncols // tile_j, n // row_block)
+    parts = []
+    for col_lo, col_hi, row_lo, row_hi in disc_column_groups(
+            mask, tile_j, row_block):
+        parts.append(fused_exp_zoom(
+            dphi[:, row_lo:row_hi, col_lo:col_hi],
+            dl[row_lo:row_hi, col_lo:col_hi],
+            a2[:, :, row_lo:row_hi], alpha, w, tile_j=tile_j,
+            precision=precision, interpret=interpret))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
 
 
 @partial(jax.jit, static_argnames=("tile_j", "precision", "interpret"))

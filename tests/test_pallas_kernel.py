@@ -273,3 +273,109 @@ def test_pallas_gate_fallback_activates(monkeypatch):
     cfg2 = cfg.with_(lambda_chunk=4)     # fresh key -> fresh trace
     got = np.asarray(psfmod.psf_cube_from_base(base, lb, cfg2))
     assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+# --- diffraction-disc skip (cfg.pallas_disc_skip) ------------------------
+
+
+def test_disc_block_mask_geometry_and_honesty():
+    """At the production full-window geometry the mask must flag exactly
+    the corner blocks outside the pupil-autocorrelation disc, every
+    dead block must really hold only roundoff-level ``dl``, and windows
+    fully inside the disc must yield no mask at all."""
+    from muse_psfr_tpu.config import GalacsiConfig
+    from muse_psfr_tpu.otf.psf import (_disc_block_mask, _PUPIL_OTF_CACHE,
+                                       pupil_otf)
+
+    cfg = GalacsiConfig()                      # dim=1280, full window
+    m = _disc_block_mask(cfg)
+    assert m is not None and m.shape == (6, 10)
+    assert int((m == 0).sum()) == 6            # 10% of the slab
+    # dead blocks only in the two leftmost column tiles, symmetric rows
+    assert (m[2:] == 1).all()
+    np.testing.assert_array_equal(m[0], [0, 0, 1, 1, 1, 1, 1, 1, 0, 0])
+    np.testing.assert_array_equal(m[1], [0, 1, 1, 1, 1, 1, 1, 1, 1, 0])
+
+    # honesty: every dead block is numerically-zero dl on the host table
+    pupil_otf(cfg)
+    dl = _PUPIL_OTF_CACHE[(cfg.dim, cfg.npup, cfg.occ, cfg.dtype)]
+    r_lo, S = cfg.otf_window
+    slab = np.abs(dl[r_lo:r_lo + 2 * S, r_lo:cfg.dim // 2 + 128])
+    thresh = 1e-12 * np.abs(dl).max()
+    for j in range(m.shape[0]):
+        for rb in range(m.shape[1]):
+            blk = slab[rb * 128:(rb + 1) * 128, j * 128:(j + 1) * 128]
+            if m[j, rb] == 0:
+                assert blk.max() <= thresh
+
+    # the production windowed buckets sit fully inside the disc
+    assert _disc_block_mask(cfg.with_(otf_support=384)) is None
+    assert _disc_block_mask(cfg.with_(otf_support=512)) is None
+
+
+def test_disc_column_groups():
+    """Chord contiguity -> maximal column groups; non-contiguous or empty
+    tiles fall back to full rows."""
+    g = zoom_dft.disc_column_groups
+    m = np.ones((3, 4), int)
+    assert g(m) == [(0, 384, 0, 512)]
+    m = np.array([[0, 1, 1, 0],        # rows 128..384
+                  [0, 1, 1, 0],        # same range -> merged
+                  [1, 1, 1, 1]])
+    assert g(m) == [(0, 256, 128, 384), (256, 384, 0, 512)]
+    m = np.array([[1, 0, 1, 1],        # non-contiguous -> full rows
+                  [0, 0, 0, 0]])       # empty -> full rows
+    assert g(m) == [(0, 256, 0, 512)]
+
+
+def test_fused_exp_zoom_disc_interpret():
+    """The column-split wrapper must reproduce the plain kernel exactly
+    when the masked blocks hold exactly-zero dl."""
+    rng = np.random.default_rng(3)
+    ndir, n, ncols, nl, m2 = 3, 256, 256, 2, 8
+    dphi = rng.uniform(0, 5, (ndir, n, ncols)).astype(np.float32)
+    dl = rng.uniform(0, 1, (n, ncols)).astype(np.float32)
+    dl[:128, :128] = 0.0               # col tile 0: live rows [128, 256)
+    a2 = rng.standard_normal((nl, m2, n)).astype(np.float32)
+    alpha = -np.abs(rng.standard_normal(nl)).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, (nl, ndir)).astype(np.float32)
+    mask = np.ones((2, 2), np.int32)
+    mask[0, 0] = 0
+    for prec in ("highest", "high"):
+        u0 = zoom_dft.fused_exp_zoom(
+            jnp.asarray(dphi), jnp.asarray(dl), jnp.asarray(a2), alpha, w,
+            precision=prec, interpret=True)
+        u1 = zoom_dft.fused_exp_zoom_disc(
+            jnp.asarray(dphi), jnp.asarray(dl), jnp.asarray(a2), alpha, w,
+            mask, precision=prec, interpret=True)
+        assert_allclose(np.asarray(u1), np.asarray(u0), rtol=0, atol=0)
+
+
+def test_psf_chunk_pallas_disc_matches_plain():
+    """At a geometry with real dead blocks (dim=1024 full window) the
+    disc-split chunk path must match the plain fused path to roundoff,
+    and the ndir gate must keep small-ndir configs on the plain path."""
+    from muse_psfr_tpu.config import GalacsiConfig
+    from muse_psfr_tpu.otf.psf import (_disc_block_mask, _psf_chunk_pallas,
+                                       lambda_crop_size, pupil_otf)
+
+    cfg = GalacsiConfig(dim=1024, dim_pup=32, dimpsf=16,
+                        pallas_disc_skip=True)
+    assert _disc_block_mask(cfg) is not None       # dead corners exist
+    ndir = cfg.pallas_disc_min_ndir                # engaged
+    r_lo, S = cfg.otf_window
+    rng = np.random.default_rng(5)
+    # synthetic outward-growing structure function (nm^2)
+    rr = np.hypot(np.add.outer(np.arange(2 * S) - S, np.zeros(S + 128)),
+                  np.add.outer(np.zeros(2 * S), np.arange(S + 128) - S))
+    base = (2e4 * (rr / S) ** 0.8
+            * (1.0 + 0.05 * rng.standard_normal((ndir, 2 * S, S + 128))))
+    base = jnp.asarray(base, cfg.dtype)
+    lb = jnp.asarray([700.0, 900.0], cfg.dtype)
+    npx = lambda_crop_size(lb, cfg)
+    dl = pupil_otf(cfg)
+    want = _psf_chunk_pallas(base, dl, lb, npx,
+                             cfg.with_(pallas_disc_skip=False),
+                             interpret=True)
+    got = _psf_chunk_pallas(base, dl, lb, npx, cfg, interpret=True)
+    assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-7)
