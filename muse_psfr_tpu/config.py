@@ -217,6 +217,16 @@ class GalacsiConfig:
                                # chips/shapes where launch overhead is
                                # smaller.  No-op on windows fully inside
                                # the disc (the default windowed bucket).
+    use_pallas_conv: bool = True  # fused Pallas final-PSF convolution
+                               # chain (ops/conv_dft.py): both 'same'
+                               # convolutions + the middle crop in one
+                               # launch, wavelength planes lane-packed
+                               # in pairs so every DFT matmul fills the
+                               # 128 lanes at the production L=64
+                               # transform size; the intermediate PSF
+                               # never exists in HBM.  TPU + float32 +
+                               # FFT-free mode only; falls back to the
+                               # XLA DFT path otherwise.
     pallas_disc_min_ndir: int = 4  # engage the disc split only at
                                # ndir >= this: the extra kernel launches
                                # + small-group pipeline ramp cost ~20%

@@ -79,6 +79,20 @@ def _dft_mats(n: int, dtype):
     return jnp.asarray(c), jnp.asarray(s)
 
 
+def _dft_spectra(x, nfft: int, precision="highest"):
+    """(re, im) of the symmetric circular DFT ``W x W`` of zero-padded
+    ``x`` (nl, h, w) at size ``nfft`` — the kernel-spectrum half of
+    :func:`_dft_convolve_same`, shared with the fused Pallas chain."""
+    dt = x.dtype
+    c, s = _dft_mats(nfft, dt)
+    mm = partial(jnp.matmul, precision=jax.lax.Precision(precision))
+    xp = jnp.pad(x, ((0, 0), (0, nfft - x.shape[1]),
+                     (0, nfft - x.shape[2])))
+    a = mm(c, xp)
+    b = mm(s, xp)
+    return mm(a, c) - mm(b, s), -(mm(a, s) + mm(b, c))
+
+
 def _dft_convolve_same(planes, kernels, n_img: int, n_ker: int,
                        precision="highest"):
     """'same' linear convolution via circular DFTs as real MXU matmuls.
@@ -189,11 +203,28 @@ def convolve_final(psf, lbda_nm, seeing, GL, L0, cfg: GalacsiConfig):
     alpha_tt = moffat_fwhm_to_alpha(tip_tilt_fwhm(seeing, GL, L0, cfg),
                                     beta_tt)
     k_tt = moffat_kernel(alpha_tt, beta_tt, n_ker, dtype)
-    psf = conv(psf, k_tt[None], n_img, n_ker)
 
     fwhm_i, beta_i, _, _ = muse_intrinsic_psf(lbda_nm.astype(dtype))
     alpha_i = moffat_fwhm_to_alpha(fwhm_i / cfg.pixscale, beta_i)
     k_i = _batched_kernels(alpha_i, beta_i, n_ker, dtype)
+
+    if (not cfg.use_fft and cfg.use_pallas_conv
+            and cfg.dtype == "float32"
+            and jax.default_backend() not in ("cpu",)):
+        # fused Pallas chain: both convolutions + the middle crop in
+        # VMEM, planes lane-packed in pairs (ops/conv_dft.py).  The
+        # kernel spectra stay in XLA: the intrinsic set is
+        # row-independent (hoisted out of the row vmap), the tip-tilt
+        # one is a single kernel per row.
+        from ..ops.conv_dft import fused_conv_chain
+        nfft = _same_fft_size(n_img, n_ker)
+        gtt_r, gtt_i = _dft_spectra(k_tt[None], nfft, cfg.conv_precision)
+        gi_r, gi_i = _dft_spectra(k_i, nfft, cfg.conv_precision)
+        return fused_conv_chain(psf, gtt_r[0], gtt_i[0], gi_r, gi_i,
+                                n_img, n_ker,
+                                precision=cfg.conv_precision)
+
+    psf = conv(psf, k_tt[None], n_img, n_ker)
     return conv(psf, k_i, n_img, n_ker)
 
 
