@@ -97,7 +97,7 @@ def main():
             return pallas_sum
 
         arms = [("xla", lambda: xla_sum(planes, ktt, ki))]
-        for pack in (2, 4):
+        for pack in (2, 3, 4):
             f = make_pallas_sum(pack)
             arms.append((f"pallas_p{pack}",
                          lambda f=f: f(planes, ktt, ki)))
