@@ -221,12 +221,23 @@ class GalacsiConfig:
                                # chain (ops/conv_dft.py): both 'same'
                                # convolutions + the middle crop in one
                                # launch, wavelength planes lane-packed
-                               # in pairs so every DFT matmul fills the
+                               # (pallas_conv_pack) so every DFT matmul fills the
                                # 128 lanes at the production L=64
                                # transform size; the intermediate PSF
                                # never exists in HBM.  TPU + float32 +
                                # FFT-free mode only; falls back to the
                                # XLA DFT path otherwise.
+    pallas_conv_pack: int = 3  # wavelength planes per fused-conv grid
+                               # step (lane-packing factor).  Measured
+                               # kernel-level on TPU v5 lite (2026-08-18,
+                               # us/row at the production shape, XLA
+                               # path 62.4): pack=2 41.2, pack=3 38.1
+                               # (best — 35 lambdas pack into 12 groups
+                               # with one padded plane), pack=4 42.1
+                               # (the block-diagonal right-multiply
+                               # matrices grow quadratically in pack and
+                               # repay the lane fill past 3).
+                               # benchmarks/measure_conv_kernel.py.
     pallas_disc_min_ndir: int = 4  # engage the disc split only at
                                # ndir >= this: the extra kernel launches
                                # + small-group pipeline ramp cost ~20%

@@ -212,7 +212,8 @@ def convolve_final(psf, lbda_nm, seeing, GL, L0, cfg: GalacsiConfig):
             and cfg.dtype == "float32"
             and jax.default_backend() not in ("cpu",)):
         # fused Pallas chain: both convolutions + the middle crop in
-        # VMEM, planes lane-packed in pairs (ops/conv_dft.py).  The
+        # VMEM, planes lane-packed in groups of cfg.pallas_conv_pack
+        # (ops/conv_dft.py).  The
         # kernel spectra stay in XLA: the intrinsic set is
         # row-independent (hoisted out of the row vmap), the tip-tilt
         # one is a single kernel per row.
@@ -222,7 +223,8 @@ def convolve_final(psf, lbda_nm, seeing, GL, L0, cfg: GalacsiConfig):
         gi_r, gi_i = _dft_spectra(k_i, nfft, cfg.conv_precision)
         return fused_conv_chain(psf, gtt_r[0], gtt_i[0], gi_r, gi_i,
                                 n_img, n_ker,
-                                precision=cfg.conv_precision)
+                                precision=cfg.conv_precision,
+                                pack=cfg.pallas_conv_pack)
 
     psf = conv(psf, k_tt[None], n_img, n_ker)
     return conv(psf, k_i, n_img, n_ker)
