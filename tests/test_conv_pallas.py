@@ -66,6 +66,7 @@ def test_convolve_final_pallas_gate(monkeypatch):
 
     def spy(*a, **k):
         calls.append(1)
+        assert k.get("pack") == cfg.pallas_conv_pack
         k["interpret"] = True          # CPU test backend can't run Mosaic
         return real(*a, **k)
 
