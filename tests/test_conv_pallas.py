@@ -21,7 +21,9 @@ from muse_psfr_tpu.ops.conv_dft import fused_conv_chain
 
 @pytest.mark.parametrize("n_img,nl,pack",
                          [(40, 35, 2), (40, 35, 3), (40, 35, 4),
-                          (40, 4, 2), (8, 3, 2), (8, 3, 4)])
+                          (40, 4, 2), (8, 3, 2), (8, 3, 4),
+                          (8, 1, 3),   # single plane, pack > nl
+                          (8, 5, 3)])  # one padded plane in the group
 def test_fused_conv_chain_interpret(n_img, nl, pack):
     n_ker = n_img + 1
     L = _same_fft_size(n_img, n_ker)
