@@ -222,6 +222,25 @@ def test_long_string_card_continue_roundtrip():
         h2.tobytes()
 
 
+def test_long_string_quote_runs_roundtrip():
+    """The CONTINUE segment splitter must never cut an escaped ''
+    pair in half: quote-heavy values pin the pair-alignment logic
+    (io/fits.py:_string_card_images)."""
+    values = [
+        "a" + "'" * 57 + "b" * 60,     # long quote run mid-value
+        "'" * 100,                     # nothing but quotes
+        "x" * 66 + "'" + "y" * 60,     # single quote at the cut column
+        "x" * 120 + "'" * 7,           # odd trailing quote run
+    ]
+    for val in values:
+        h = Header()
+        h["OBJECT"] = val
+        raw = h.tobytes()
+        assert len(raw) % 2880 == 0
+        hdul = _roundtrip(HDUList([PrimaryHDU(header=h)]))
+        assert hdul[0].header["OBJECT"] == val
+
+
 def test_reads_externally_written_continue_header():
     """A standard-conformant CONTINUE header written by another library
     (byte-exact astropy layout, hand-built) parses to the full value."""
