@@ -89,10 +89,13 @@ def main():
     seeing, GL, L0, mask = build_rows(N_ROWS)
     # larger chunks amortise the per-chunk command latency of the
     # tunneled link (measured: 1000 rows 2030 rows/s at chunk=50 vs
-    # 0.5-1.3 s spread at chunk=25); short nights stay at 25 to bound
-    # the padding of the per-bucket last chunks
+    # 0.5-1.3 s spread at chunk=25; chunk=100 beats 50 by ~1.1-1.2x
+    # paired-rep median over two sessions — half the dispatches, zero
+    # padding on the ~60/40 bucket mix, benchmarks/measure_chunk.py);
+    # short nights stay at 25 to bound the padding of the per-bucket
+    # last chunks
     chunk = int(os.environ.get("BENCH_CHUNK",
-                               "50" if N_ROWS >= 200 else "25"))
+                               "100" if N_ROWS >= 200 else "25"))
 
     def run(n):
         # process_batch pulls what a user consumes (per-row fit params +

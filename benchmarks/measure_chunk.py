@@ -1,0 +1,68 @@
+"""Alternating A/B of the batch chunk size on the same night.
+
+The per-chunk command dispatch on the tunneled link costs ~2 ms of
+host time; at 1000 rows / chunk=50 the night issues 20 chunk programs
+(~45 ms enqueue) of which only part hides under device compute.  A
+larger chunk halves the dispatch count (and the pull parts) at the
+price of coarser guard-redo granularity and one more executable shape.
+The 1000-row bench night splits ~60/40 into the windowed/full buckets,
+so chunks of 50, 100, and 200 all pad zero rows.
+
+Usage: python benchmarks/measure_chunk.py [rows] [reps] [chunks...]
+Defaults: 1000 rows, 6 reps, chunks 50 100.
+All variants are warmed first, then timed alternating in one process —
+the only way a <10% effect reads against the 5-8% chip spread.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    from muse_psfr_tpu.config import GalacsiConfig
+    from muse_psfr_tpu.parallel.batch import process_batch
+    from bench import build_rows
+
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    chunks = [int(c) for c in sys.argv[3:]] or [50, 100]
+    cfg = GalacsiConfig()
+    lbda = np.linspace(490, 930, 35)
+    seeing, GL, L0, mask = build_rows(rows)
+
+    for c in chunks:
+        t0 = time.perf_counter()
+        process_batch(seeing, GL, L0, mask, lbda, npsflin=1, cfg=cfg,
+                      chunk=c)
+        print(json.dumps({"warmup_chunk": c,
+                          "s": round(time.perf_counter() - t0, 1)}),
+              flush=True)
+    times = {c: [] for c in chunks}
+    for rep in range(reps):
+        for c in chunks:
+            t0 = time.perf_counter()
+            process_batch(seeing, GL, L0, mask, lbda, npsflin=1,
+                          cfg=cfg, chunk=c)
+            dt = time.perf_counter() - t0
+            times[c].append(dt)
+            print(json.dumps({"rep": rep, "chunk": c, "t_s": round(dt, 4),
+                              "rows_per_sec": round(rows / dt, 1)}),
+                  flush=True)
+    print(json.dumps({
+        "rows": rows, "device": str(jax.devices()[0]),
+        **{f"chunk{c}_best": round(rows / min(v), 1)
+           for c, v in times.items()},
+        **{f"chunk{c}_median": round(rows / float(np.median(v)), 1)
+           for c, v in times.items()},
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()

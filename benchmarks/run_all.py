@@ -64,7 +64,7 @@ def main():
     # steady-state figure must exclude.
     seeing1k, GL1k, L01k, mask1k = build_rows(1000)
     t, _ = timed(lambda: (process_batch(
-        seeing1k, GL1k, L01k, mask1k, lb35, cfg=cfg, chunk=25)))
+        seeing1k, GL1k, L01k, mask1k, lb35, cfg=cfg, chunk=100)))
     rows.append(("extended: 1000 rows x 35 lambda (steady state)", 1000, t))
 
     # 4. high-resolution 2048^2 grids, one row x 35 lambda
