@@ -88,14 +88,14 @@ def main():
     lbda = np.linspace(490, 930, NL)
     seeing, GL, L0, mask = build_rows(N_ROWS)
     # larger chunks amortise the per-chunk command latency of the
-    # tunneled link (measured: 1000 rows 2030 rows/s at chunk=50 vs
-    # 0.5-1.3 s spread at chunk=25; chunk=100 beats 50 by ~1.1-1.2x
-    # paired-rep median over two sessions — half the dispatches, zero
-    # padding on the ~60/40 bucket mix, benchmarks/measure_chunk.py);
-    # short nights stay at 25 to bound the padding of the per-bucket
-    # last chunks
+    # tunneled link (~2 ms/dispatch): chunk=100 beats 50 at 1000 rows
+    # by ~1.1-1.2x paired-rep median (half the dispatches, zero padding
+    # on the ~60/40 bucket mix) and chunk=50 beats 25 at 100 rows by
+    # ~1.16-1.20x (the ~50 padded rows' device time hides under the
+    # link-bound final pull; 3 dispatches instead of 5) —
+    # benchmarks/measure_chunk.py, alternating warmed A/Bs
     chunk = int(os.environ.get("BENCH_CHUNK",
-                               "100" if N_ROWS >= 200 else "25"))
+                               "100" if N_ROWS >= 200 else "50"))
 
     def run(n):
         # process_batch pulls what a user consumes (per-row fit params +

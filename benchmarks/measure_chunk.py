@@ -9,7 +9,10 @@ The 1000-row bench night splits ~60/40 into the windowed/full buckets,
 so chunks of 50, 100, and 200 all pad zero rows.
 
 Usage: python benchmarks/measure_chunk.py [rows] [reps] [chunks...]
-Defaults: 1000 rows, 6 reps, chunks 50 100.
+       python benchmarks/measure_chunk.py grid [reps] [chunks...]
+Defaults: 1000 rows, 6 reps, chunks 50 100.  ``grid`` swaps the night
+telemetry for the 32x32 (seeing, GL) condition-sweep grid (1024 rows,
+chunk defaults 32 64) to set api.condition_sweep's chunk policy.
 All variants are warmed first, then timed alternating in one process —
 the only way a <10% effect reads against the 5-8% chip spread.
 """
@@ -30,12 +33,25 @@ def main():
     from muse_psfr_tpu.parallel.batch import process_batch
     from bench import build_rows
 
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 6
-    chunks = [int(c) for c in sys.argv[3:]] or [50, 100]
     cfg = GalacsiConfig()
     lbda = np.linspace(490, 930, 35)
-    seeing, GL, L0, mask = build_rows(rows)
+    if len(sys.argv) > 1 and sys.argv[1] == "grid":
+        # the 32x32 (seeing, GL) condition-sweep telemetry (~68%
+        # windowable vs the night's ~60%) — chunk policy for
+        # api.condition_sweep
+        reps = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+        chunks = [int(c) for c in sys.argv[3:]] or [32, 64]
+        ss, gg = np.meshgrid(np.linspace(0.6, 1.6, 32),
+                             np.linspace(0.3, 0.9, 32), indexing="ij")
+        seeing, GL = ss.ravel(), gg.ravel()
+        L0 = np.full(seeing.size, 25.0)
+        mask = np.ones((seeing.size, 4))
+        rows = seeing.size
+    else:
+        rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+        reps = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+        chunks = [int(c) for c in sys.argv[3:]] or [50, 100]
+        seeing, GL, L0, mask = build_rows(rows)
 
     for c in chunks:
         t0 = time.perf_counter()

@@ -48,7 +48,7 @@ def main():
     # 3. full night: 100 rows x 35 lambda
     seeing, GL, L0, mask = build_rows(100)
     t, _ = timed(lambda: (process_batch(
-        seeing, GL, L0, mask, lb35, cfg=cfg, chunk=25)))
+        seeing, GL, L0, mask, lb35, cfg=cfg, chunk=50)))
     rows.append(("full night: 100 rows x 35 lambda", 100, t))
 
     # 3a. full night in the 9-direction mode (npsflin=3, the reference's
@@ -81,7 +81,7 @@ def main():
     # OTF-support estimate for this grid; the second run is steady state
     # like every other row of the table
     t, _ = timed(lambda: condition_sweep(sv, gv, [25.0], lbda=lb35,
-                                         cfg=cfg, chunk=32))
+                                         cfg=cfg, chunk=64))
     rows.append(("condition sweep 32x32 (seeing, GL) x 35 lambda",
                  32 * 32, t))
 
@@ -94,7 +94,7 @@ def main():
     gv16 = np.linspace(0.3, 0.9, 16)
     lv8 = np.array([3.5, 4.5, 8.0, 11.0, 14.0, 18.0, 23.0, 29.0])
     t, _ = timed(lambda: condition_sweep(sv16, gv16, lv8, lbda=lb35,
-                                         cfg=cfg, chunk=32))
+                                         cfg=cfg, chunk=64))
     rows.append(("condition sweep 16x16x8 (seeing, GL, L0) x 35 lambda",
                  16 * 16 * 8, t))
 

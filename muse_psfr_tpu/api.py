@@ -107,7 +107,7 @@ def compute_psf(lbda, seeing, GL, L0, npsflin=1, h=(100, 10000),
 
 def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
                     lmax=930, nl=35, npsflin=1, h=(100, 10000),
-                    three_lgs_mode=False, cfg=DEFAULT_CONFIG, chunk=32,
+                    three_lgs_mode=False, cfg=DEFAULT_CONFIG, chunk=64,
                     mesh=None, checkpoint=None, resume=False):
     """Sensitivity sweep over a Cartesian (seeing, GL, L0) condition grid.
 
@@ -291,7 +291,7 @@ def compute_psf_from_sparta(filename, extname="SPARTA_ATM_DATA", npsflin=1,
                             lmin=490, lmax=930, nl=35, lbda=None,
                             h=(100, 10000), n_jobs=-1, plot=False,
                             mean_of_lgs=True, verbose=True,
-                            cfg=DEFAULT_CONFIG, chunk=25, mesh=None):
+                            cfg=DEFAULT_CONFIG, chunk=50, mesh=None):
     """Reconstruct PSFs for every row of a SPARTA telemetry table.
 
     Same contract as the reference (psfrec.py:981-1120): returns an
