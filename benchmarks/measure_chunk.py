@@ -35,6 +35,49 @@ def main():
 
     cfg = GalacsiConfig()
     lbda = np.linspace(490, 930, 35)
+    if len(sys.argv) > 1 and sys.argv[1] == "tail":
+        # A/B the tail-chunk policy (MUSE_PSFR_NO_TAIL) at one chunk size
+        rows = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+        reps = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 100
+        seeing, GL, L0, mask = build_rows(rows)
+        variants = {"tail": {}, "no_tail": {"MUSE_PSFR_NO_TAIL": "1"}}
+        times = {k: [] for k in variants}
+
+        def run(env):
+            old = {k: os.environ.pop(k, None) for k in
+                   ("MUSE_PSFR_NO_TAIL",)}
+            os.environ.update(env)
+            try:
+                t0 = time.perf_counter()
+                process_batch(seeing, GL, L0, mask, lbda, npsflin=1,
+                              cfg=cfg, chunk=chunk)
+                return time.perf_counter() - t0
+            finally:
+                for k, v in old.items():
+                    os.environ.pop(k, None)
+                    if v is not None:
+                        os.environ[k] = v
+
+        for name, env in variants.items():
+            print(json.dumps({"warmup": name, "s": round(run(env), 1)}),
+                  flush=True)
+        for rep in range(reps):
+            for name, env in variants.items():
+                dt = run(env)
+                times[name].append(dt)
+                print(json.dumps({"rep": rep, "cfg": name,
+                                  "t_s": round(dt, 4),
+                                  "rows_per_sec": round(rows / dt, 1)}),
+                      flush=True)
+        print(json.dumps({
+            "rows": rows, "chunk": chunk, "device": str(jax.devices()[0]),
+            **{f"{k}_best": round(rows / min(v), 1)
+               for k, v in times.items()},
+            **{f"{k}_median": round(rows / float(np.median(v)), 1)
+               for k, v in times.items()},
+        }, indent=1))
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "grid":
         # the 32x32 (seeing, GL) condition-sweep telemetry (~68%
         # windowable vs the night's ~60%) — chunk policy for

@@ -728,35 +728,63 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
             parts.append(gf)
             part_start = len(fits)
 
+    # tail-chunk policy: the last (partial) chunk of each bucket is
+    # dispatched at the smallest size from the FIXED menu {chunk//4,
+    # chunk//2, chunk} that covers the remainder, instead of padding up
+    # to a full chunk.  The menu keeps the shape set static across
+    # nights (each size is one extra compile per bucket, once per
+    # process, NOT one per night composition), while the padded rows it
+    # drops are real device work — e.g. the 1000-row bench night at
+    # chunk=100 pads 95 full-window rows (~37 ms, ~10% of the night)
+    # without it.  Disabled on the guard-redo path (_force_full reuses
+    # the original bucket executable — a redo must never trigger a
+    # multi-minute tail compile) and on the mesh path (chunks are
+    # rounded to mesh multiples there).  A/B knob: MUSE_PSFR_NO_TAIL=1.
+    use_tail = (not _force_full
+                and not os.environ.get("MUSE_PSFR_NO_TAIL"))
+
+    def _tail_size(rem):
+        for d in (4, 2):
+            t = max(1, chunk_n // d)
+            if t >= rem:
+                return t
+        return chunk_n
+
     count = 0
     _t_disp = time.perf_counter()
     for gcfg, gidx in groups:
         gb = gidx.shape[0]
         gt = table[gidx]
-        n_pad = (-gb) % chunk_n
+        n_main, rem = divmod(gb, chunk_n)
+        if rem and use_tail and sharding is None:
+            tail = _tail_size(rem)
+        else:
+            tail = chunk_n if rem else 0
+        sizes = [chunk_n] * n_main + ([tail] if rem else [])
+        nvals = [chunk_n] * n_main + ([rem] if rem else [])
+        offs = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(int)
+        n_pad = int(sum(sizes)) - gb
         if n_pad:
             gt = np.concatenate([gt, np.repeat(gt[-1:], n_pad, axis=0)],
                                 axis=0)
-        n_chunks = gt.shape[0] // chunk_n
+        n_chunks = len(sizes)
         # everything the per-chunk loop needs lives on device up front —
         # the loop then issues only async device ops (no H2D transfers,
         # no eager reductions): offset/valid-count scalars are sliced
         # from one pushed array, and the fused _fit_chunk is the single
         # real dispatch per chunk
-        nval = np.minimum(chunk_n, gb - chunk_n * np.arange(n_chunks))
-        meta_d = jnp.asarray(
-            np.stack([chunk_n * np.arange(n_chunks), nval]), jnp.int32)
+        meta_d = jnp.asarray(np.stack([offs, nvals]), jnp.int32)
         if sharding is None:
             table_d = jnp.asarray(gt, gcfg.dtype)
             for i in range(n_chunks):
                 t = jax.lax.dynamic_slice_in_dim(
-                    table_d, meta_d[0, i], chunk_n, axis=0)
+                    table_d, meta_d[0, i], sizes[i], axis=0)
                 fit, psum, guard = _fit_chunk(
                     t, meta_d[1, i], lbda_j, h_t, wind_speed, npsflin,
                     gcfg, fit_dtype)
-                n = int(nval[i])
+                n = int(nvals[i])
                 fits.append(fit[:n])
-                idxs.append(gidx[i * chunk_n:i * chunk_n + n])
+                idxs.append(gidx[int(offs[i]):int(offs[i]) + n])
                 psums.append(psum)
                 guards.append(guard)
                 _maybe_part()
@@ -773,9 +801,9 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                 fit, psum, guard = _fit_vmapped(
                     t[:, 0], t[:, 1], t[:, 2], t[:, 3:7], meta_d[1, i],
                     lbda_j, h_t, wind_speed, npsflin, gcfg, fit_dtype)
-                n = int(nval[i])
+                n = int(nvals[i])
                 fits.append(fit[:n])
-                idxs.append(gidx[i * chunk_n:i * chunk_n + n])
+                idxs.append(gidx[int(offs[i]):int(offs[i]) + n])
                 psums.append(psum)
                 guards.append(guard)
                 _maybe_part()

@@ -207,3 +207,33 @@ def test_compute_psf_from_sparta_with_mesh():
     assert_allclose(a["fwhm"], b["fwhm"], atol=1e-12)
     assert_allclose(res_m["PSF_MEAN"].data, res_s["PSF_MEAN"].data,
                     atol=1e-12)
+
+
+def test_tail_chunk_matches_padded_dispatch(monkeypatch):
+    """The tail-chunk policy (last partial chunk dispatched at a smaller
+    static size from the {chunk//4, chunk//2, chunk} menu instead of
+    padding to a full chunk) must be invisible in the results: per-row
+    fits, mean PSF, and mean fit identical to the padded dispatch, rows
+    in input order.  B=11 at chunk=8 exercises main chunks + a tail of
+    size 4 (rem 3 <= 8//4); B=7 at chunk=8 a pure-tail bucket."""
+    from muse_psfr_tpu.parallel.batch import process_batch
+
+    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
+    lbda = np.linspace(600, 900, 3)
+    rng = np.random.default_rng(7)
+    for B in (11, 7):
+        seeing = rng.uniform(0.6, 1.4, B)
+        GL = rng.uniform(0.3, 0.9, B)
+        L0 = rng.uniform(10, 28, B)
+        mask = np.ones((B, 4))
+        monkeypatch.delenv("MUSE_PSFR_NO_TAIL", raising=False)
+        fit_t, mean_t, fitm_t = process_batch(seeing, GL, L0, mask, lbda,
+                                              cfg=cfg, chunk=8)
+        monkeypatch.setenv("MUSE_PSFR_NO_TAIL", "1")
+        fit_p, mean_p, fitm_p = process_batch(seeing, GL, L0, mask, lbda,
+                                              cfg=cfg, chunk=8)
+        monkeypatch.delenv("MUSE_PSFR_NO_TAIL")
+        assert fit_t.shape == fit_p.shape
+        assert_allclose(fit_t, fit_p, atol=1e-12)
+        assert_allclose(mean_t, mean_p, atol=1e-12)
+        assert_allclose(fitm_t, fitm_p, atol=1e-12)
