@@ -40,6 +40,7 @@ def main():
         rows = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
         reps = int(sys.argv[3]) if len(sys.argv) > 3 else 8
         chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 100
+        npsflin = int(sys.argv[5]) if len(sys.argv) > 5 else 1
         seeing, GL, L0, mask = build_rows(rows)
         variants = {"tail": {}, "no_tail": {"MUSE_PSFR_NO_TAIL": "1"}}
         times = {k: [] for k in variants}
@@ -50,7 +51,7 @@ def main():
             os.environ.update(env)
             try:
                 t0 = time.perf_counter()
-                process_batch(seeing, GL, L0, mask, lbda, npsflin=1,
+                process_batch(seeing, GL, L0, mask, lbda, npsflin=npsflin,
                               cfg=cfg, chunk=chunk)
                 return time.perf_counter() - t0
             finally:
@@ -71,7 +72,8 @@ def main():
                                   "rows_per_sec": round(rows / dt, 1)}),
                       flush=True)
         print(json.dumps({
-            "rows": rows, "chunk": chunk, "device": str(jax.devices()[0]),
+            "rows": rows, "chunk": chunk, "npsflin": npsflin,
+            "device": str(jax.devices()[0]),
             **{f"{k}_best": round(rows / min(v), 1)
                for k, v in times.items()},
             **{f"{k}_median": round(rows / float(np.median(v)), 1)

@@ -14,12 +14,19 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timed(fn, warm=True):
+def timed(fn, warm=True, reps=3):
+    """Best-of-``reps`` timed runs after a warm-up: the shared tunneled
+    chip's run-to-run spread (5-8% steady, far worse under contention)
+    exceeds the pipeline's own variation, so the minimum is the stable
+    estimator — same rationale as bench.py's best-of-5."""
     if warm:
         fn()
-    t0 = time.perf_counter()
-    out = fn()
-    return time.perf_counter() - t0, out
+    best, out = float("inf"), None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, out
 
 
 def main():

@@ -744,8 +744,12 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                 and not os.environ.get("MUSE_PSFR_NO_TAIL"))
 
     def _tail_size(rem):
-        for d in (4, 2):
-            t = max(1, chunk_n // d)
+        # quarter, half, three-quarter sizes: the 3c/4 step matters for
+        # device-bound buckets (e.g. the 9-direction night's 43
+        # full-window rows at chunk=25 -> 25 + tail 18 instead of
+        # 25 + 25 with 7 padded rows of ~4.5 ms each)
+        for num, den in ((1, 4), (1, 2), (3, 4)):
+            t = max(1, chunk_n * num // den)
             if t >= rem:
                 return t
         return chunk_n
