@@ -98,9 +98,14 @@ def main():
         chunks = [int(c) for c in sys.argv[3:]] or [50, 100]
         seeing, GL, L0, mask = build_rows(rows)
 
+    # chunk-vs-chunk comparisons honour MUSE_PSFR_BENCH_NPSFLIN (the
+    # 9-direction night's chunk policy needs its own A/B: its full
+    # bucket is device-bound, so padding does not hide under the pull)
+    npsflin = int(os.environ.get("MUSE_PSFR_BENCH_NPSFLIN", "1"))
+
     for c in chunks:
         t0 = time.perf_counter()
-        process_batch(seeing, GL, L0, mask, lbda, npsflin=1, cfg=cfg,
+        process_batch(seeing, GL, L0, mask, lbda, npsflin=npsflin, cfg=cfg,
                       chunk=c)
         print(json.dumps({"warmup_chunk": c,
                           "s": round(time.perf_counter() - t0, 1)}),
@@ -109,7 +114,7 @@ def main():
     for rep in range(reps):
         for c in chunks:
             t0 = time.perf_counter()
-            process_batch(seeing, GL, L0, mask, lbda, npsflin=1,
+            process_batch(seeing, GL, L0, mask, lbda, npsflin=npsflin,
                           cfg=cfg, chunk=c)
             dt = time.perf_counter() - t0
             times[c].append(dt)
@@ -117,7 +122,8 @@ def main():
                               "rows_per_sec": round(rows / dt, 1)}),
                   flush=True)
     print(json.dumps({
-        "rows": rows, "device": str(jax.devices()[0]),
+        "rows": rows, "npsflin": npsflin,
+        "device": str(jax.devices()[0]),
         **{f"chunk{c}_best": round(rows / min(v), 1)
            for c, v in times.items()},
         **{f"chunk{c}_median": round(rows / float(np.median(v)), 1)
