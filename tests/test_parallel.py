@@ -227,8 +227,22 @@ def test_tail_chunk_matches_padded_dispatch(monkeypatch):
         L0 = rng.uniform(10, 28, B)
         mask = np.ones((B, 4))
         monkeypatch.delenv("MUSE_PSFR_NO_TAIL", raising=False)
+        seen = {}
+
+        def on_chunk(indices, packed):
+            # checkpoint sinks must receive every row exactly once with
+            # matching shapes, tail chunks included
+            for k, row in enumerate(indices):
+                assert int(row) not in seen
+                seen[int(row)] = packed[k].copy()
+            assert packed.shape[0] == len(indices)
+
         fit_t, mean_t, fitm_t = process_batch(seeing, GL, L0, mask, lbda,
-                                              cfg=cfg, chunk=8)
+                                              cfg=cfg, chunk=8,
+                                              on_chunk=on_chunk)
+        assert sorted(seen) == list(range(B))
+        for r in range(B):
+            assert_allclose(seen[r], fit_t[r], atol=1e-12)
         monkeypatch.setenv("MUSE_PSFR_NO_TAIL", "1")
         fit_p, mean_p, fitm_p = process_batch(seeing, GL, L0, mask, lbda,
                                               cfg=cfg, chunk=8)
