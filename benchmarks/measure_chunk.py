@@ -10,9 +10,13 @@ so chunks of 50, 100, and 200 all pad zero rows.
 
 Usage: python benchmarks/measure_chunk.py [rows] [reps] [chunks...]
        python benchmarks/measure_chunk.py grid [reps] [chunks...]
+       python benchmarks/measure_chunk.py tail [rows] [reps] [chunk] [npsflin]
 Defaults: 1000 rows, 6 reps, chunks 50 100.  ``grid`` swaps the night
 telemetry for the 32x32 (seeing, GL) condition-sweep grid (1024 rows,
 chunk defaults 32 64) to set api.condition_sweep's chunk policy.
+``tail`` A/Bs the tail-chunk policy (MUSE_PSFR_NO_TAIL) at one chunk
+size; the chunk-vs-chunk default mode reads MUSE_PSFR_BENCH_NPSFLIN
+for the 9-direction variant instead of a positional arg.
 All variants are warmed first, then timed alternating in one process —
 the only way a <10% effect reads against the 5-8% chip spread.
 """

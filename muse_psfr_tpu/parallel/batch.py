@@ -728,18 +728,22 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
             parts.append(gf)
             part_start = len(fits)
 
-    # tail-chunk policy: the last (partial) chunk of each bucket is
-    # dispatched at the smallest size from the FIXED menu {chunk//4,
-    # chunk//2, chunk} that covers the remainder, instead of padding up
-    # to a full chunk.  The menu keeps the shape set static across
-    # nights (each size is one extra compile per bucket, once per
-    # process, NOT one per night composition), while the padded rows it
-    # drops are real device work — e.g. the 1000-row bench night at
-    # chunk=100 pads 95 full-window rows (~37 ms, ~10% of the night)
-    # without it.  Disabled on the guard-redo path (_force_full reuses
-    # the original bucket executable — a redo must never trigger a
-    # multi-minute tail compile) and on the mesh path (chunks are
-    # rounded to mesh multiples there).  A/B knob: MUSE_PSFR_NO_TAIL=1.
+    # tail-chunk policy: the last (partial) chunk of a REDUCED-WINDOW
+    # bucket is dispatched at the smallest size from the FIXED menu
+    # {chunk//4, chunk//2, 3*chunk//4} that covers the remainder,
+    # instead of padding up to a full chunk.  The menu keeps the shape
+    # set static across nights (each size is one extra compile per
+    # bucket, once per process, NOT one per night composition), while
+    # the padded rows it drops are real device work — e.g. the 1000-row
+    # bench night at chunk=100 pads 23 windowed rows instead of 98.
+    # FULL-WINDOW groups always pad to the full chunk: the guard-redo
+    # path recomputes tripped rows with the full-window (chunk_n, 7)
+    # executable, so that shape must exist whenever a full-window group
+    # dispatched at all — a redo must never trigger a multi-minute
+    # compile (and the full-bucket tail measured no night-level benefit,
+    # RESULTS.md).  Also disabled on the guard-redo path itself and on
+    # the mesh path (chunks are rounded to mesh multiples there).
+    # A/B knob: MUSE_PSFR_NO_TAIL=1.
     use_tail = (not _force_full
                 and not os.environ.get("MUSE_PSFR_NO_TAIL"))
 
@@ -760,7 +764,7 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
         gb = gidx.shape[0]
         gt = table[gidx]
         n_main, rem = divmod(gb, chunk_n)
-        if rem and use_tail and sharding is None:
+        if rem and use_tail and sharding is None and gcfg.otf_support:
             tail = _tail_size(rem)
         else:
             tail = chunk_n if rem else 0

@@ -211,14 +211,25 @@ def test_compute_psf_from_sparta_with_mesh():
 
 def test_tail_chunk_matches_padded_dispatch(monkeypatch):
     """The tail-chunk policy (last partial chunk dispatched at a smaller
-    static size from the {chunk//4, chunk//2, chunk} menu instead of
-    padding to a full chunk) must be invisible in the results: per-row
-    fits, mean PSF, and mean fit identical to the padded dispatch, rows
-    in input order.  B=11 at chunk=8 exercises main chunks + a tail of
-    size 4 (rem 3 <= 8//4); B=7 at chunk=8 a pure-tail bucket."""
-    from muse_psfr_tpu.parallel.batch import process_batch
+    static size from the {chunk//4, chunk//2, 3*chunk//4} menu instead
+    of padding to a full chunk) must be invisible in the results:
+    per-row fits, mean PSF, and mean fit identical to the padded
+    dispatch, rows in input order.  B=11 at chunk=8 exercises main
+    chunks + a tail of size 4 (rem 3 <= 8//4); B=7 at chunk=8 a
+    pure-tail bucket (rem 7 > 3*8//4 falls back to the full chunk).
+    Tails engage only on REDUCED-WINDOW groups — the guard-redo must
+    be able to reuse the full-window (chunk, 7) executable — so the
+    config pins an explicit otf_support window (asserted below); with
+    the TINY default every row lands full-window and the policy is
+    inert."""
+    from muse_psfr_tpu.parallel.batch import process_batch, _plan_batch
 
-    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
+    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64",
+                            otf_support=128)
+    assert all(gc.otf_support for gc, _ in _plan_batch(
+        np.array([1.0]), np.array([0.7]), np.array([25.0]),
+        np.ones((1, 4)), np.linspace(600, 900, 3), (100, 10000), 1,
+        cfg, 1, None, False)[1])
     lbda = np.linspace(600, 900, 3)
     rng = np.random.default_rng(7)
     for B in (11, 7):
