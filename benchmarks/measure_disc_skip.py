@@ -148,7 +148,7 @@ def night():
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     lbda = np.linspace(490, 930, 35)
     seeing, GL, L0, mask = build_rows(rows)
-    cfgs = {"disc_on": GalacsiConfig(),
+    cfgs = {"disc_on": GalacsiConfig(pallas_disc_skip=True),
             "disc_off": GalacsiConfig(pallas_disc_skip=False)}
     times = {k: [] for k in cfgs}
     for name, cfg in cfgs.items():

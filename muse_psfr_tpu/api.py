@@ -203,12 +203,14 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
 
     on_chunk = None
     on_redo_start = None
+    on_final = None
     if checkpoint is not None:
         def on_redo_start(indices):  # noqa: F811
             # a window-guard trip invalidates these rows' earlier
-            # delivery: un-mark them so a crash before the corrected
-            # on_chunk call cannot persist stale (too-small-window)
-            # fits as done across a resume
+            # delivery.  With done-marking deferred to on_final the rows
+            # were never marked done — but NaN them out so the
+            # sidecar-less NaN-based resume fallback cannot trust the
+            # stale (too-small-window) values either.
             rows = todo[indices]
             buf["done"].difference_update(int(r) for r in rows)
             if "a" in buf:
@@ -220,16 +222,24 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
         def on_chunk(indices, packed_np):  # noqa: F811
             # chunks arrive bucket-ordered, not grid-ordered: keep rows
             # at their grid position.  `indices` are positions in the
-            # `todo` subset -> map to grid rows.  Doneness is tracked in
-            # the sidecar (NOT by NaN content: a degenerate plane's
-            # legitimate fit stores NaN error bars).
+            # `todo` subset -> map to grid rows.  Values only — an
+            # on_chunk delivery is PROVISIONAL (the window guard is
+            # evaluated at the night's final pull); completion is
+            # recorded by on_final below, so a crash mid-night can never
+            # persist a too-small-window fit as done across a resume.
             if "a" not in buf:
                 buf["a"] = np.full((B,) + packed_np.shape[1:], np.nan,
                                    packed_np.dtype)
             rows = todo[indices]
             buf["a"][rows] = packed_np
-            buf["done"].update(int(r) for r in rows)
             np.save(checkpoint, buf["a"])
+
+        def on_final(indices):  # noqa: F811
+            # rows provably past the window guard (untripped chunks, or
+            # redone with the full window).  Doneness is tracked in the
+            # sidecar (NOT by NaN content: a degenerate plane's
+            # legitimate fit stores NaN error bars).
+            buf["done"].update(int(r) for r in todo[indices])
             with open(sidecar, "w") as fh:
                 json.dump({**meta, "done": sorted(buf["done"])}, fh)
 
@@ -239,7 +249,7 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
                 ss.ravel()[todo], gg.ravel()[todo], ll.ravel()[todo],
                 gs_mask[todo], lbda, h=h, npsflin=npsflin, cfg=cfg,
                 chunk=chunk, mesh=mesh, on_chunk=on_chunk,
-                on_redo_start=on_redo_start)
+                on_redo_start=on_redo_start, on_final=on_final)
             sub = np.asarray(fit_d)
         if todo.size == B:
             packed = sub

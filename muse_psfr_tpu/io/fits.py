@@ -18,6 +18,10 @@ import io
 
 import numpy as np
 
+from ..utils.log import get_logger
+
+logger = get_logger()
+
 BLOCK = 2880
 
 # TFORM code <-> numpy dtype (big-endian on disk)
@@ -120,13 +124,16 @@ class Header:
     def _card_image(self, key, value, comment):
         """One or more 80-char card images for (key, value, comment).
 
-        Long values NEVER truncate silently: string values that overflow
+        Long VALUES never truncate silently: string values that overflow
         one card use the FITS long-string (CONTINUE) convention — the
         reference gets this behaviour from astropy, which the CLI relies
         on when copying long ``HIERARCH ESO ...`` cards out of raw MUSE
-        headers (reference cli.py:44-55).  Cards that cannot be continued
-        (HIERARCH with an overlong value, overlong numerics) raise
-        ``ValueError`` instead of corrupting the file.
+        headers (reference cli.py:44-55).  Values that cannot be
+        continued (HIERARCH with an overlong value, overlong numerics)
+        raise ``ValueError`` instead of corrupting the file.  An
+        overlong COMMENT on a card whose value fits is truncated with a
+        logged warning — astropy's behaviour (VerifyWarning + truncated
+        write), which callers copying real raw-MUSE headers rely on.
         """
         if key in ("COMMENT", "HISTORY", ""):
             text = str(value)
@@ -138,27 +145,37 @@ class Header:
             # convention is defined only for 8-char keywords, so an
             # overflowing HIERARCH card must fail loudly.
             body = "HIERARCH %s = %s" % (key, self._format_value(value))
-            if comment:
-                body += " / " + comment
             if len(body) > 80:
                 raise ValueError(
                     "FITS card too long and not continuable (HIERARCH "
-                    "keyword %r, %d > 80 chars); shorten the value or "
-                    "comment" % (key, len(body)))
+                    "keyword %r, %d > 80 chars); shorten the value"
+                    % (key, len(body)))
+            if comment:
+                body = self._append_comment(key, body, comment)
             return body.ljust(80)
         if isinstance(value, str):
             return self._string_card_images(key, value, comment)
         body = "%-8s= %20s" % (key, self._format_value(value))
-        if comment:
-            body += " / " + comment
         if len(body) > 80:
-            if len(body) - len(" / " + comment if comment else "") <= 80:
-                raise ValueError(
-                    "FITS comment overflows card for keyword %r; shorten "
-                    "the comment (%d > 80 chars total)" % (key, len(body)))
             raise ValueError("FITS card too long for keyword %r (%d > 80 "
                              "chars)" % (key, len(body)))
+        if comment:
+            body = self._append_comment(key, body, comment)
         return body.ljust(80)
+
+    @staticmethod
+    def _append_comment(key, body, comment):
+        """Append ``/ comment``, truncating the comment (never the value)
+        to the 80-column card with a logged warning — astropy writes the
+        same truncated card under a VerifyWarning."""
+        full = body + " / " + comment
+        if len(full) <= 80:
+            return full
+        room = 80 - len(body) - len(" / ")
+        logger.warning(
+            "FITS comment for keyword %r truncated to fit the 80-column "
+            "card (%d -> %d chars)", key, len(comment), max(0, room))
+        return full[:80] if room > 0 else body
 
     @staticmethod
     def _string_card_images(key, value, comment):

@@ -55,21 +55,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _dot(x, y, precision):
-    """(., K) @ (K, .) at the requested f32 scheme (see
-    ops/zoom_dft.py:_mxu_contract for the bf16 splitting pitfall)."""
-    dims = (((1,), (0,)), ((), ()))
-    if precision == "high":
-        x_hi = x.astype(jnp.bfloat16)
-        x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        y_hi = y.astype(jnp.bfloat16)
-        y_lo = (y - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
-            a, b, dims, preferred_element_type=jnp.float32)
-        return dot(x_hi, y_hi) + dot(x_hi, y_lo) + dot(x_lo, y_hi)
-    return jax.lax.dot_general(
-        x, y, dims, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+# (., K) @ (K, .) at the requested f32 scheme — shared with the zoom
+# kernel (single home for the in-kernel bf16 hi/lo splitting pitfall)
+from .zoom_dft import _mxu_contract as _dot  # noqa: E402
 
 
 def _conv_pack(xp, gr, gi, csn_ref, crc_ref, crs_ref, csel_ref,

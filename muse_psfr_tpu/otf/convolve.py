@@ -124,18 +124,10 @@ def _dft_convolve_same(planes, kernels, n_img: int, n_ker: int,
     c, s = _dft_mats(nfft, dt)
     mm = partial(jnp.matmul, precision=jax.lax.Precision(precision))
 
-    def fwd(x):
-        """Real (nl, nfft, nfft) -> (re, im) of W x W."""
-        a = mm(c, x)
-        b = mm(s, x)
-        return mm(a, c) - mm(b, s), -(mm(a, s) + mm(b, c))
-
-    def pad(x):
-        return jnp.pad(x, ((0, 0), (0, nfft - x.shape[1]),
-                           (0, nfft - x.shape[2])))
-
-    fr, fi = fwd(pad(planes))
-    gr, gi = fwd(pad(kernels))
+    # forward transforms shared with the Pallas kernel-spectrum path —
+    # one home for the pad + 6-matmul W x W scheme (_dft_spectra)
+    fr, fi = _dft_spectra(planes, nfft, precision)
+    gr, gi = _dft_spectra(kernels, nfft, precision)
     hr = fr * gr - fi * gi
     hi = fr * gi + fi * gr
     # real part of conj(W) H conj(W) / nfft^2
@@ -210,7 +202,7 @@ def convolve_final(psf, lbda_nm, seeing, GL, L0, cfg: GalacsiConfig):
 
     if (not cfg.use_fft and cfg.use_pallas_conv
             and cfg.dtype == "float32"
-            and jax.default_backend() not in ("cpu",)):
+            and jax.default_backend() == "tpu"):
         # fused Pallas chain: both convolutions + the middle crop in
         # VMEM, planes lane-packed in groups of cfg.pallas_conv_pack
         # (ops/conv_dft.py).  The

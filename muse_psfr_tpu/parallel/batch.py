@@ -623,7 +623,7 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                   npsflin: int = 1, cfg: GalacsiConfig = None,
                   chunk: int = 8, mesh: Mesh = None,
                   fit_dtype: str = None, on_chunk=None, on_redo_start=None,
-                  _force_full=False, _return_parts=False):
+                  on_final=None, _force_full=False, _return_parts=False):
     """Full device-resident batch: reconstruct, Moffat-fit, and average.
 
     Returns ``(fit_packed, psf_mean, fit_mean_packed)`` — numpy arrays:
@@ -666,6 +666,16 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     corrected one would persist the wrong values as done (the
     checkpoint/resume path of :func:`muse_psfr_tpu.api.condition_sweep`
     does exactly this).
+
+    ``on_final(row_indices)`` is called when rows' values become FINAL
+    — i.e. provably not subject to a window-guard redo: once for all
+    rows of untripped chunks (after the guard vector is pulled) and
+    once more for the redone rows (after their corrected values are
+    delivered).  An ``on_chunk`` delivery alone is provisional: the
+    guard is only known at the night's final pull, so a durable sink
+    that marks rows complete at ``on_chunk`` time can persist
+    too-small-window values across a crash + resume.  Mark completion
+    in ``on_final``, store values in ``on_chunk``.
 
     ``_return_parts`` (internal, redo path): return the device-resident
     ``(fit_packed, psf_sum, guard_vec)`` without any host pull, mean, or
@@ -860,6 +870,11 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
         fit_np = fit_np[np.argsort(order)]
     # per-chunk window-guard check, piggybacked on the single result pull
     tripped = np.nonzero(guard_np < 0.0)[0]
+    if on_final is not None:
+        trip_set = set(int(i) for i in tripped)
+        clear = [idxs[i] for i in range(len(idxs)) if i not in trip_set]
+        if clear:
+            on_final(np.concatenate(clear))
     if tripped.size == 0:
         return fit_np, psf_mean_np, fit_mean_np
 
@@ -890,4 +905,6 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
         fit_redo, psf_mean, fit_mean)
     fit_np = np.array(fit_np)  # pull_packed views are read-only
     fit_np[redo_idx] = fit_redo_np
+    if on_final is not None:
+        on_final(redo_idx)      # corrected values delivered above
     return fit_np, psf_mean_np, fit_mean_np

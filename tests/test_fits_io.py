@@ -276,3 +276,21 @@ def test_exact_80_column_card_unchanged():
     HDUList([PrimaryHDU(header=h)]).writeto(buf)
     buf.seek(0)
     assert fits_open(buf)[0].header["KEY"] == v
+
+
+def test_overlong_comment_truncates_like_astropy():
+    """An overlong COMMENT on a card whose value fits is truncated with
+    a warning (astropy writes the same truncated card under a
+    VerifyWarning) — it must not abort the file write.  Only VALUES
+    fail loudly when uncontinuable."""
+    h = Header()
+    h["EXPTIME"] = (3600, "c" * 120)
+    h["HIERARCH ESO OBS X"] = (5, "d" * 100)
+    raw = h.tobytes()
+    assert len(raw) % 2880 == 0
+    cards = [raw[i:i + 80].decode("ascii") for i in range(0, len(raw), 80)]
+    assert cards[0].startswith("EXPTIME =                 3600 / ccc")
+    assert len(cards[0]) == 80
+    hdul = _roundtrip(HDUList([PrimaryHDU(header=h)]))
+    assert hdul[0].header["EXPTIME"] == 3600
+    assert hdul[0].header["ESO OBS X"] == 5

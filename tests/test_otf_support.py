@@ -415,3 +415,43 @@ def test_bucketed_mesh_matches_single_device():
                           mesh=default_mesh())
     b = reconstruct_batch(see, gl, l0, mask, lbda, cfg=CFG, chunk=4)
     assert_allclose(a, b, rtol=0, atol=1e-6)
+
+
+def test_on_final_fires_only_when_guard_resolved():
+    """`on_final` must deliver every row exactly once, and the tripped
+    row only AFTER its corrected value arrived — a durable sink that
+    marks completion in on_final can then never persist a
+    too-small-window fit as done across a crash + resume
+    (api.condition_sweep's checkpoint relies on this ordering)."""
+    from muse_psfr_tpu.parallel.batch import process_batch
+    lbda = np.array([930.0])
+    see = np.array([1.0, 1.3, 0.2, 1.1])
+    gl = np.array([0.7, 0.5, 0.01, 0.6])
+    l0 = np.array([25.0, 18.0, 30.0, 22.0])
+    mask = np.ones((4, 4))
+    cfg_small = CFG.with_(otf_support=128)
+
+    events = []          # interleaved (kind, rows) stream
+    values = {}
+
+    def on_chunk(idx, packed):
+        events.append(("chunk", list(map(int, idx))))
+        for j, row in zip(idx, packed):
+            values[int(j)] = np.array(row)
+
+    def on_final(idx):
+        events.append(("final", sorted(map(int, idx))))
+
+    fit, _, _ = process_batch(see, gl, l0, mask, lbda, cfg=cfg_small,
+                              chunk=1, on_chunk=on_chunk,
+                              on_final=on_final)
+    finals = [rows for kind, rows in events if kind == "final"]
+    assert sorted(r for rows in finals for r in rows) == [0, 1, 2, 3]
+    # the tripped row (2) is final'd separately, after its corrected
+    # on_chunk delivery
+    assert finals[-1] == [2]
+    order = [e for e in events if e[0] == "final" or 2 in e[1]]
+    assert order[-1] == ("final", [2])
+    assert order[-2][0] == "chunk"          # corrected delivery first
+    # and the value captured at on_chunk time for row 2 is the final one
+    assert_allclose(values[2], fit[2], rtol=0, atol=0)
