@@ -107,15 +107,21 @@ def main():
     # pipeline and the cross-chunk concatenation)
     run(N_ROWS)
 
-    # best of 5 timed runs: the shared tunneled chip's run-to-run spread
-    # (chip sharing + command-latency jitter) is larger than the
-    # pipeline's own variation, so the minimum is the stable estimator
-    # (each extra run costs ~0.1-0.5 s against a multi-minute warmup)
+    # best of 2x4 timed runs, the blocks ~30 s apart: the shared
+    # tunneled chip's run-to-run spread (chip sharing + command-latency
+    # jitter) is larger than the pipeline's own variation, so the
+    # minimum is the stable estimator, and contention bursts last
+    # seconds-to-minutes — spacing the blocks keeps one burst from
+    # poisoning every rep (each run costs ~0.1-0.5 s against a
+    # multi-minute warmup)
     times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        fit, psf_mean, fit_mean = run(N_ROWS)
-        times.append(time.perf_counter() - t0)
+    for block in range(2):
+        if block:
+            time.sleep(float(os.environ.get("BENCH_BLOCK_GAP_S", "30")))
+        for _ in range(4):
+            t0 = time.perf_counter()
+            fit, psf_mean, fit_mean = run(N_ROWS)
+            times.append(time.perf_counter() - t0)
     elapsed = min(times)
     rows_per_sec = N_ROWS / elapsed
 
