@@ -54,10 +54,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
 # (., K) @ (K, .) at the requested f32 scheme — shared with the zoom
 # kernel (single home for the in-kernel bf16 hi/lo splitting pitfall)
-from .zoom_dft import _mxu_contract as _dot  # noqa: E402
+from .zoom_dft import _mxu_contract as _dot
 
 
 def _conv_pack(xp, gr, gi, csn_ref, crc_ref, crs_ref, csel_ref,
