@@ -233,6 +233,12 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
             rows = todo[indices]
             buf["a"][rows] = packed_np
             np.save(checkpoint, buf["a"])
+            # keep a sidecar on disk from the FIRST delivery: without
+            # one, a crash before any on_final would leave only the
+            # .npy, and the sidecar-less NaN-based resume fallback
+            # would trust these provisional values
+            with open(sidecar, "w") as fh:
+                json.dump({**meta, "done": sorted(buf["done"])}, fh)
 
         def on_final(indices):  # noqa: F811
             # rows provably past the window guard (untripped chunks, or

@@ -2,6 +2,7 @@
 input forms, and sweep FITS output."""
 
 import io
+import os
 
 import numpy as np
 from numpy.testing import assert_allclose
@@ -177,3 +178,63 @@ def test_too_blue_wavelength_raises():
         reconstruct_batch([1.0], [0.7], [25.0], np.ones((1, 4)),
                           np.array([450.0]),
                           cfg=GalacsiConfig(dtype="float64"))
+
+
+def test_crash_before_guard_resolution_never_marks_done(tmp_path,
+                                                        monkeypatch):
+    """A crash between an on_chunk delivery and the night's guard
+    resolution must leave a checkpoint whose sidecar marks NOTHING
+    done: on_chunk deliveries are provisional (the window guard is only
+    known at the final pull), so resume must recompute them.  Also pins
+    that the sidecar exists from the FIRST delivery — without it the
+    NaN-based fallback would trust the provisional values."""
+    import json
+    import muse_psfr_tpu.api as api
+    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
+    ckpt = str(tmp_path / "crash_ckpt.npy")
+    side = ckpt + ".meta.json"
+
+    real = api.process_batch
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash_after_first_chunk(*a, **k):
+        inner = k.get("on_chunk")
+        calls = []
+
+        def wrapped(idx, packed):
+            inner(idx, packed)
+            calls.append(1)
+            raise Boom()                     # process dies mid-night
+
+        k["on_chunk"] = wrapped
+        return real(*a, **k)
+
+    monkeypatch.setattr(api, "process_batch", crash_after_first_chunk)
+    import pytest
+    with pytest.raises(Boom):
+        condition_sweep([0.8, 1.0, 1.2], [0.7], [25.0], lbda=[800.0],
+                        cfg=cfg, chunk=2, checkpoint=ckpt)
+    monkeypatch.setattr(api, "process_batch", real)
+
+    # the crash left values but NO done rows — the delivered chunk's
+    # guard was never resolved
+    assert os.path.exists(ckpt) and os.path.exists(side)
+    assert json.load(open(side))["done"] == []
+    vals = np.load(ckpt)
+    assert not np.isnan(vals).all()          # provisional values exist
+
+    # resume recomputes EVERY grid point (nothing trusted)
+    seen = {}
+
+    def spy(seeing, *a, **k):
+        seen["B"] = np.atleast_1d(np.asarray(seeing)).shape[0]
+        return real(seeing, *a, **k)
+
+    monkeypatch.setattr(api, "process_batch", spy)
+    res = condition_sweep([0.8, 1.0, 1.2], [0.7], [25.0], lbda=[800.0],
+                          cfg=cfg, chunk=2, checkpoint=ckpt, resume=True)
+    assert seen["B"] == 3
+    assert json.load(open(side))["done"] == [0, 1, 2]
+    assert np.isfinite(res["beta"]).all()
