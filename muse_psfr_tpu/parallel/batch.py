@@ -634,10 +634,12 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     tunneled TPUs, ~37 ms per pull): every ``MUSE_PSFR_PULL_PART``
     chunks (default: half the night's chunks, capped to [2, 8]; single
     pull under 4 chunks) the accumulated packed fits start an async
-    device->host copy that overlaps later compute, and one final packed
-    transfer carries the remainder, the mean arrays, and the per-chunk
-    window guards; the (B, nl, dimpsf, dimpsf) PSF cubes never leave
-    the device.  Unpack with
+    device->host copy that overlaps later compute — with the last part
+    forced at the penultimate chunk (``MUSE_PSFR_PULL_AT`` overrides
+    the cut positions outright) — and one final packed transfer
+    carries the remainder, the mean arrays, and the per-chunk window
+    guards; the (B, nl, dimpsf, dimpsf) PSF cubes never leave the
+    device.  Unpack with
     :func:`muse_psfr_tpu.fit.moffat_fit.unpack_fit`.
 
     When the OTF-support window guard trips, ONLY the rows of the
@@ -720,23 +722,48 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
             logger.warning("ignoring non-integer MUSE_PSFR_PULL_PART=%r",
                            os.environ["MUSE_PSFR_PULL_PART"])
             part_n = default_part
+    # explicit cut schedule (A/B experiments): comma-separated chunk
+    # counts after which to start a part copy, e.g. "2,5,8,10" — cuts
+    # when the i-th chunk of the night has been enqueued.  Overrides the
+    # stride logic; ignored on the redo path.
+    cut_at = None
+    env_cuts = os.environ.get("MUSE_PSFR_PULL_AT")
+    if env_cuts and part_n != 0:
+        try:
+            cut_at = {int(x) for x in env_cuts.split(",") if x.strip()}
+        except ValueError:
+            logger.warning("ignoring malformed MUSE_PSFR_PULL_AT=%r",
+                           env_cuts)
+
+    def _cut_part():
+        nonlocal part_start
+        gf = (jnp.concatenate(fits[part_start:], axis=0)
+              if len(fits) - part_start > 1 else fits[part_start])
+        try:
+            gf.copy_to_host_async()
+        except Exception:  # noqa: BLE001 - plain sync pull later
+            pass
+        parts.append(gf)
+        part_start = len(fits)
 
     def _maybe_part():
-        nonlocal part_start
+        if cut_at is not None:
+            if len(fits) in cut_at and len(fits) > part_start:
+                _cut_part()
+            return
         # the FIRST part cuts at half size: the link (bytes + ~37 ms
         # latency per pull) needs a head start to drain under the
         # remaining compute; later parts are full-size to bound the
-        # per-pull latency count
+        # per-pull latency count; the LAST part is forced at the
+        # penultimate chunk so the final (serialized) pull carries one
+        # chunk + the mean arrays instead of a multi-chunk byte
+        # remainder — measured 1.09-1.11x paired-median on the 1000-row
+        # night across two sessions (benchmarks/measure_pull_schedule.py)
         need = part_n if parts else max(1, part_n // 2)
-        if part_n > 0 and len(fits) - part_start >= need:
-            gf = (jnp.concatenate(fits[part_start:], axis=0)
-                  if len(fits) - part_start > 1 else fits[part_start])
-            try:
-                gf.copy_to_host_async()
-            except Exception:  # noqa: BLE001 - plain sync pull later
-                pass
-            parts.append(gf)
-            part_start = len(fits)
+        if part_n > 0 and len(fits) > part_start and (
+                len(fits) - part_start >= need
+                or len(fits) == total_chunks - 1):
+            _cut_part()
 
     # tail-chunk policy: the last (partial) chunk of a REDUCED-WINDOW
     # bucket is dispatched at the smallest size from the FIXED menu

@@ -185,6 +185,35 @@ def test_pull_overlap_part_paths_match(monkeypatch):
         assert_allclose(x, y, rtol=0, atol=0)
 
 
+def test_pull_schedule_env_matches_default(monkeypatch):
+    """MUSE_PSFR_PULL_AT (explicit part-cut positions) must be
+    value-neutral against the default stride schedule, including a cut
+    at the last chunk (empty final remainder) and a malformed value
+    (ignored with a warning)."""
+    from muse_psfr_tpu.config import TINY_CONFIG
+    from muse_psfr_tpu.parallel.batch import process_batch
+    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
+    lbda = np.array([700.0, 900.0])
+    rng = np.random.default_rng(3)
+    see = rng.uniform(0.8, 1.3, 6)
+    gl = rng.uniform(0.4, 0.8, 6)
+    l0 = rng.uniform(12.0, 28.0, 6)
+    mask = np.ones((6, 4))
+
+    def run():
+        return process_batch(see, gl, l0, mask, lbda, cfg=cfg, chunk=1)
+
+    monkeypatch.delenv("MUSE_PSFR_NO_OVERLAP", raising=False)
+    monkeypatch.delenv("MUSE_PSFR_PULL_AT", raising=False)
+    ref = run()
+    for cuts in ("2,4", "1,2,3,4,5,6", "5", "oops,2"):
+        monkeypatch.setenv("MUSE_PSFR_PULL_AT", cuts)
+        got = run()
+        for x, y in zip(ref, got):
+            assert_allclose(x, y, rtol=0, atol=0)
+    monkeypatch.delenv("MUSE_PSFR_PULL_AT")
+
+
 def test_guard_redo_is_surgical():
     """One guard-tripping row in a batch must re-run ONLY its own chunk
     with the full window — not the whole night (process_batch used to
