@@ -100,6 +100,23 @@ class Header:
     def items(self):
         return [(k, v) for k, v, _ in self._cards]
 
+    @property
+    def comments(self):
+        """Comment access by keyword — ``hdr.comments["KEY"]``, the same
+        surface as astropy's ``Header.comments`` (the reference's
+        consumers read comments through it)."""
+        cards = self._cards
+
+        class _Comments:
+            def __getitem__(self, key):
+                nk = Header._norm_key(key)
+                for k, _, c in cards:
+                    if k == nk:
+                        return c
+                raise KeyError(key)
+
+        return _Comments()
+
     def keys(self):
         return [k for k, _, _ in self._cards]
 
@@ -213,8 +230,17 @@ class Header:
         if comment:
             # comment continuation: '&' string segments carrying ' / ...'
             rest = comment
+            room = 80 - len("CONTINUE  '&' / ")
             while rest:
-                take = rest[:80 - len("CONTINUE  '&' / ")]
+                take = rest[:room]
+                # never leave a chunk ending in a space: the 80-column
+                # card padding would absorb it on read — shift it to the
+                # next chunk's leading position, which the reader keeps
+                # (it drops exactly one separator space after '/')
+                while (take and take[-1] == " " and len(rest) > len(take)):
+                    take = take[:-1]
+                if not take:                 # all-space window
+                    take = rest[:room]
                 rest = rest[len(take):]
                 s = "'&'" if rest else "''"
                 cards.append(("CONTINUE  %s / %s" % (s, take)).ljust(80))
@@ -260,6 +286,38 @@ def _parse_header_value(raw):
         return token
 
 
+def _parse_value_comment(raw):
+    """(value, comment) of a card body (the text after ``'= '``).
+
+    The comment is whatever follows the first ``/`` OUTSIDE the quoted
+    string value; exactly one leading separator space is dropped (the
+    writer emits ``" / "``) so spaces carried to a continuation chunk's
+    front survive, and trailing card padding is stripped (trailing
+    spaces at the very end of a FITS comment are unrecoverable — the
+    same limitation astropy has).
+    """
+    s = raw
+    if s.lstrip().startswith("'"):
+        j = s.find("'") + 1
+        while j < len(s):               # scan past '' escapes
+            if s[j] == "'":
+                if j + 1 < len(s) and s[j + 1] == "'":
+                    j += 2
+                    continue
+                break
+            j += 1
+        after = s[j + 1:] if j < len(s) else ""
+    else:
+        after = s
+    k = after.find("/")
+    if k < 0:
+        return _parse_header_value(raw), ""
+    com = after[k + 1:]
+    if com.startswith(" "):
+        com = com[1:]
+    return _parse_header_value(raw), com.rstrip()
+
+
 def _read_header(stream):
     hdr = Header()
     while True:
@@ -278,13 +336,15 @@ def _read_header(stream):
                 break
             if key == "CONTINUE":
                 # FITS long-string convention: append to the previous
-                # card's string value if it ends with the '&' sentinel
-                seg = _parse_header_value(card[8:])
+                # card's string value if it ends with the '&' sentinel;
+                # comment parts riding the continuation cards reassemble
+                # onto the previous card's comment
+                seg, com = _parse_value_comment(card[8:])
                 if (hdr._cards and isinstance(hdr._cards[-1][1], str)
                         and hdr._cards[-1][1].endswith("&")
                         and isinstance(seg, str)):
                     k, v, c = hdr._cards[-1]
-                    hdr._cards[-1] = (k, v[:-1] + seg, c)
+                    hdr._cards[-1] = (k, v[:-1] + seg, c + com)
                 continue
             if key in ("COMMENT", "HISTORY", ""):
                 if card[8:].strip():
@@ -295,14 +355,12 @@ def _read_header(stream):
                 eq = body.find("= ")
                 if eq < 0:
                     continue
-                hdr.append(body[:eq].strip(),
-                           _parse_header_value(body[eq + 1:]))
+                val, com = _parse_value_comment(body[eq + 1:])
+                hdr.append(body[:eq].strip(), val, com)
                 continue
             if card[8:10] == "= ":
-                rest = card[10:]
-                comment = ""
-                val = _parse_header_value(rest)
-                hdr.append(key, val, comment)
+                val, com = _parse_value_comment(card[10:])
+                hdr.append(key, val, com)
         if done:
             return hdr
 
@@ -546,12 +604,12 @@ def _image_header(data, primary, extra=None, name=""):
         if name:
             h.append("EXTNAME", name, "extension name")
     if extra is not None:
-        for k, v in extra.items():
+        for k, v, c in extra:
             if k.upper() in ("SIMPLE", "XTENSION", "BITPIX", "NAXIS",
                              "EXTEND", "PCOUNT", "GCOUNT") or \
                     k.upper().startswith("NAXIS"):
                 continue
-            h[k] = v
+            h[k] = (v, c)
     return h
 
 
@@ -604,12 +662,12 @@ def _bintable_bytes(hdu):
         h.append("TFORM%d" % k, _column_tform(base, shape))
     if hdu.name:
         h.append("EXTNAME", hdu.name, "extension name")
-    for key, val in hdu.header.items():
+    for key, val, com in hdu.header._cards:
         if key in ("XTENSION", "BITPIX", "NAXIS", "NAXIS1", "NAXIS2",
                    "PCOUNT", "GCOUNT", "TFIELDS", "EXTNAME") or \
                 key.startswith(("TTYPE", "TFORM", "TDIM")):
             continue
-        h[key] = val
+        h[key] = (val, com)
 
     # logical columns: bool -> ASCII 'T'/'F' bytes (FITS standard)
     for nm in names:
@@ -631,7 +689,8 @@ def _image_bytes(hdu, primary):
             data = data.astype("f8")
         if data.dtype.kind == "b":
             data = data.astype("u1")
-    extra = dict(hdu.header.items()) if hdu.header is not None else None
+    extra = (list(hdu.header._cards) if hdu.header is not None
+             else None)                 # (key, value, comment) triples
     h = _image_header(data, primary, extra=extra,
                       name=getattr(hdu, "name", ""))
     out = h.tobytes()

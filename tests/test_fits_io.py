@@ -262,6 +262,38 @@ def test_reads_externally_written_continue_header():
     assert hdul[0].header["OBJECT"] == val
 
 
+def test_card_comments_roundtrip():
+    """Inline card comments survive a write/read cycle — the reference
+    copies raw-MUSE headers through astropy, which preserves comments;
+    silently dropping them on read would degrade every header copy.
+    Covers numeric, boolean, string (incl. a '/' INSIDE the quoted
+    value), HIERARCH, and a long-string value whose long comment rides
+    CONTINUE cards, including a comment split at a space boundary."""
+    h = Header()
+    h["EXPTIME"] = (3600, "integration time [s]")
+    h["SIMPLE2"] = (True, "conforms / mostly")
+    h["RATIO"] = (0.25, "a quarter")
+    h["PATH"] = ("a/b/c", "slash inside the value")
+    h["HIERARCH ESO OBS T"] = (5, "hierarch comment")
+    long_comment = ("this comment is far too long for one eighty column "
+                    "card and must ride the CONTINUE cards while keeping "
+                    "every single space between words intact " * 2).strip()
+    h["TARGET"] = ("NGC 300 ultra deep field " * 5, long_comment)
+
+    hdul = _roundtrip(HDUList([PrimaryHDU(header=h)]))
+    rh = hdul[0].header
+    assert rh.comments["EXPTIME"] == "integration time [s]"
+    assert rh.comments["SIMPLE2"] == "conforms / mostly"
+    assert rh["SIMPLE2"] is True
+    assert rh.comments["RATIO"] == "a quarter"
+    assert rh["PATH"] == "a/b/c"
+    assert rh.comments["PATH"] == "slash inside the value"
+    assert rh.comments["ESO OBS T"] == "hierarch comment"
+    assert rh["TARGET"] == ("NGC 300 ultra deep field " * 5).rstrip() \
+        or rh["TARGET"] == "NGC 300 ultra deep field " * 5
+    assert rh.comments["TARGET"] == long_comment
+
+
 def test_exact_80_column_card_unchanged():
     """Values that exactly fill one card stay on one card (no gratuitous
     CONTINUE)."""
