@@ -89,6 +89,19 @@ class GalacsiConfig:
                                # night): 1069 vs 830 rows/s at rms
                                # 2.6e-8 vs 2.2e-8 against the f64 oracle
                                # (budget 1e-5) — "high" is the default
+    zoom_exp2: bool = True     # evaluate the fused-kernel damping as
+                               # exp2(alpha*log2e*D + log2 w) instead of
+                               # exp(alpha*D)*w: one fma + exp2 per
+                               # element instead of mul + exp + mul.
+                               # Identical math up to argument rounding
+                               # (~ln2*|exponent|*eps relative, i.e.
+                               # large only where the OTF has damped to
+                               # nothing).  Measured 1.05-1.13x on the
+                               # full-window ndir=9 kernel, ~1.02x full
+                               # ndir=1, a wash on windowed buckets
+                               # (benchmarks/measure_exp2_kernel.py);
+                               # pipeline rms unchanged vs the f64
+                               # oracle (docs/precision.md)
     conv_precision: str = "highest"  # TPU f32 passes for the final-PSF
                                # convolution DFT matmuls (tip-tilt +
                                # instrument Moffat).  "high" (3-pass

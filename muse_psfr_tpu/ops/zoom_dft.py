@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(alpha_ref, w_ref, dphi_ref, dl_ref, *rest, precision):
+def _kernel(alpha_ref, w_ref, dphi_ref, dl_ref, *rest, precision, exp2):
     # alpha_ref: (nl,) SMEM; w_ref: (nl, ndir) SMEM
     # dphi_ref: (1, N, TJ) — direction d's column slab
     # dl_ref: (N, TJ); then either a2 (nl, 2M, N) f32 ["highest"] or its
@@ -54,7 +54,17 @@ def _kernel(alpha_ref, w_ref, dphi_ref, dl_ref, *rest, precision):
     dp = dphi_ref[0]
 
     for l in range(nl):
-        contrib = jnp.exp(alpha_ref[l] * dp) * w_ref[l, d]
+        if exp2:
+            # alpha_ref carries alpha*log2(e) and w_ref carries log2(w):
+            # exp(alpha*D)*w == exp2(alpha*log2e*D + log2 w), one fma +
+            # exp2 instead of mul + exp + mul per element (measured
+            # 1.05-1.13x on the full-window ndir=9 production shape,
+            # benchmarks/measure_exp2_kernel.py; argument-rounding
+            # deviation ~ ln2*|x|*eps, absolutely negligible wherever
+            # the OTF is non-negligible)
+            contrib = jnp.exp2(alpha_ref[l] * dp + w_ref[l, d])
+        else:
+            contrib = jnp.exp(alpha_ref[l] * dp) * w_ref[l, d]
 
         @pl.when(d == 0)
         def _(l=l, contrib=contrib):
@@ -236,7 +246,7 @@ def disc_column_groups(block_mask, tile_j: int = 128,
 
 def fused_exp_zoom_disc(dphi, dl, a2, alpha, w, block_mask,
                         tile_j: int = 128, row_block: int = 128,
-                        precision: str = "highest",
+                        precision: str = "highest", exp2: bool = False,
                         interpret: bool = False):
     """:func:`fused_exp_zoom` with dead diffraction-support blocks
     skipped by a static column-group split.
@@ -265,13 +275,15 @@ def fused_exp_zoom_disc(dphi, dl, a2, alpha, w, block_mask,
             dphi[:, row_lo:row_hi, col_lo:col_hi],
             dl[row_lo:row_hi, col_lo:col_hi],
             a2[:, :, row_lo:row_hi], alpha, w, tile_j=tile_j,
-            precision=precision, interpret=interpret))
+            precision=precision, exp2=exp2, interpret=interpret))
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
 
 
-@partial(jax.jit, static_argnames=("tile_j", "precision", "interpret"))
+@partial(jax.jit, static_argnames=("tile_j", "precision", "exp2",
+                                   "interpret"))
 def fused_exp_zoom(dphi, dl, a2, alpha, w, tile_j: int = 128,
-                   precision: str = "highest", interpret: bool = False):
+                   precision: str = "highest", exp2: bool = False,
+                   interpret: bool = False):
     """U[l] = A2[l] @ (sum_d exp(alpha[l]*Dphi[d]) * w[l,d] * dl).
 
     dphi: (ndir, N, ncols) float32 — ``ncols`` may be less than N under
@@ -282,6 +294,12 @@ def fused_exp_zoom(dphi, dl, a2, alpha, w, tile_j: int = 128,
     matrices; alpha: (nl,) scalars; w: (nl, ndir) direction weights.
     Returns (nl, 2M, ncols) float32.  G is never materialised and Dphi
     is read once per chunk.
+
+    ``exp2=True`` (cfg.zoom_exp2) evaluates the damping as
+    ``exp2(alpha*log2(e)*D + log2 w)`` — fewer VPU ops per element, same
+    math up to argument rounding.  Requires ``w >= 0`` (``w = 0`` maps
+    to ``log2 0 = -inf`` and a clean flush to zero; the production
+    weights ``1/(ndir*norm)`` are strictly positive).
     """
     ndir, n, ncols = dphi.shape
     nl, m2, _ = a2.shape
@@ -289,6 +307,9 @@ def fused_exp_zoom(dphi, dl, a2, alpha, w, tile_j: int = 128,
     assert dl.shape[0] == n and dl.shape[1] >= ncols, (dl.shape, n, ncols)
     alpha = jnp.asarray(alpha, jnp.float32)
     w = jnp.asarray(w, jnp.float32)
+    if exp2:
+        alpha = alpha * jnp.float32(np.log2(np.e))
+        w = jnp.log2(w)
     if precision not in ("highest", "high"):
         raise ValueError(f"unsupported zoom precision {precision!r}; "
                          "'default' (1-pass bf16) is outside the accuracy "
@@ -296,7 +317,7 @@ def fused_exp_zoom(dphi, dl, a2, alpha, w, tile_j: int = 128,
 
     grid = (ncols // tile_j, ndir)
     return pl.pallas_call(
-        partial(_kernel, precision=precision),
+        partial(_kernel, precision=precision, exp2=exp2),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,

@@ -675,10 +675,12 @@ def _psf_chunk_pallas(base, dl, lb_k, npix_k, cfg, interpret=False):
             u = fused_exp_zoom_disc(base, dl[r_lo:r_hi, r_lo:col_hi],
                                     a2, alpha, w, msk,
                                     precision=cfg.zoom_precision,
+                                    exp2=cfg.zoom_exp2,
                                     interpret=interpret)
         else:
             u = fused_exp_zoom(base, dl[r_lo:r_hi, r_lo:col_hi], a2,
                                alpha, w, precision=cfg.zoom_precision,
+                               exp2=cfg.zoom_exp2,
                                interpret=interpret)
     m = 2 * nout
     mm = _mm(cfg)

@@ -44,6 +44,34 @@ def test_fused_exp_zoom_interpret(ndir, nl):
         assert_allclose(np.asarray(u, np.float64), ref, rtol=0, atol=atol)
 
 
+@pytest.mark.parametrize("ndir,nl", [(1, 3), (9, 3)])
+def test_fused_exp_zoom_exp2_matches_exp(ndir, nl):
+    """cfg.zoom_exp2 rewrites exp(alpha*D)*w as exp2(alpha*log2e*D +
+    log2 w) — same math up to argument rounding.  Checked against the
+    float64 reference including heavily damped pixels (where the
+    absolute deviation must stay negligible) and a zero weight (log2 0
+    = -inf must flush cleanly to zero, not NaN)."""
+    n, m2 = 256, 32
+    rng = np.random.default_rng(11)
+    dphi = rng.uniform(0, 40, (ndir, n, n)).astype(np.float32)
+    dphi[:, :, :64] *= 8.0                  # deep-damping band
+    dl = rng.uniform(0, 1, (n, n)).astype(np.float32)
+    a2 = (rng.normal(size=(nl, m2, n)) / n).astype(np.float32)
+    alpha = rng.uniform(-0.3, -0.1, nl).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, (nl, ndir)).astype(np.float32)
+    if ndir > 1:
+        w[0, 0] = 0.0                       # masked direction
+
+    ref = _reference(dphi, dl, a2, alpha, w)
+    u = zoom_dft.fused_exp_zoom(jnp.asarray(dphi), jnp.asarray(dl),
+                                jnp.asarray(a2), alpha, w, tile_j=128,
+                                precision="highest", exp2=True,
+                                interpret=True)
+    u = np.asarray(u, np.float64)
+    assert np.all(np.isfinite(u))
+    assert_allclose(u, ref, rtol=0, atol=1e-6)
+
+
 def test_fused_exp_zoom_anchor_interpret():
     """The anchored-Taylor kernel must match the exact per-wavelength
     exponentials within the certified analytic bound, including heavily
@@ -172,16 +200,18 @@ def test_psf_chunk_pallas_anchor_matches_exact():
     assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=2e-6)
 
 
-def test_psf_chunk_pallas_matches_xla():
+@pytest.mark.parametrize("zoom_exp2", [True, False])
+def test_psf_chunk_pallas_matches_xla(zoom_exp2):
     """The fused chunk path must match the XLA zoom path exactly (both
-    f32) on a multi-direction structure function."""
+    f32) on a multi-direction structure function — with the damping
+    evaluated either way (cfg.zoom_exp2)."""
     import jax
     from muse_psfr_tpu.config import TINY_CONFIG
     from muse_psfr_tpu.psd.model import simulate_psd, effective_wind_speed
     from muse_psfr_tpu.otf.psf import (dphi_base, psf_cube_from_base,
                                        _psf_chunk_pallas, pupil_otf,
                                        lambda_crop_size)
-    cfg = TINY_CONFIG
+    cfg = TINY_CONFIG.with_(zoom_exp2=zoom_exp2)
     h = (100, 10000)
     ws = effective_wind_speed(h, cfg)
     psd = simulate_psd(1.0, 0.7, 25.0, jnp.ones(4, cfg.dtype), h, ws, 2, cfg)
