@@ -609,8 +609,20 @@ def pull_packed(*arrays):
     arrays = [jnp.asarray(a) for a in arrays]
     shapes = [a.shape for a in arrays]
     dt = jnp.result_type(*arrays)
-    flat = np.asarray(jnp.concatenate([jnp.ravel(a).astype(dt)
-                                       for a in arrays]))
+    flat_d = jnp.concatenate([jnp.ravel(a).astype(dt) for a in arrays])
+    if not os.environ.get("MUSE_PSFR_NO_ASYNC_FINAL"):
+        # issue the D2H copy command NOW, before blocking: the host
+        # reaches this point while chunk compute is still in flight
+        # (everything upstream is async), so the transfer request rides
+        # the command stream behind the compute and the bytes start
+        # flowing the moment the result materialises — instead of
+        # paying a ready-notification round trip first (~37 ms on the
+        # tunneled link).  A/B knob: MUSE_PSFR_NO_ASYNC_FINAL=1.
+        try:
+            flat_d.copy_to_host_async()
+        except Exception:  # noqa: BLE001 - plain sync pull below
+            pass
+    flat = np.asarray(flat_d)
     out, off = [], 0
     for s in shapes:
         n = int(np.prod(s)) if s else 1
