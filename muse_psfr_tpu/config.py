@@ -60,6 +60,26 @@ class GalacsiConfig:
                                # night 309 vs 268 rows/s (1.16x); k=9
                                # measured WORSE than both 7 and 12
                                # (misaligned nl*m2 output tiling).
+    pallas_dir_block: object = "auto"  # directions per fused-kernel grid
+                               # step ("auto" = largest divisor of ndir
+                               # whose VMEM budget fits at the chosen
+                               # wavelength chunk; an int forces it; 0/1
+                               # disables).  db directions accumulate in
+                               # a LOCAL value before one scratch
+                               # read-modify-write (db-fold fewer), and
+                               # db == ndir drops the scratch entirely
+                               # and issues each wavelength's MXU
+                               # contraction right after its
+                               # exponentials (VPU/MXU overlap).
+                               # Measured (v5e, 2026-08-18,
+                               # measure_dir_block.py): windowed ndir=9
+                               # kernel 5.73 -> 3.80 us/lambda (1.51x)
+                               # at db=9; the full-window bucket stays
+                               # db=1 ("auto" rejects db>1 there: its
+                               # VMEM-fit chunk would drop 7 -> 5, a
+                               # measured per-lambda wash, and db=9
+                               # OOMs Mosaic even at k=2).  ndir=1
+                               # (npsflin=1) is unaffected.
 
     # --- telemetry validity limits (reference psfrec.py:30-31) ------------
     min_l0: float = 8.0        # minimum valid outer scale [m]

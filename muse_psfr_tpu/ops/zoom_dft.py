@@ -82,6 +82,66 @@ def _kernel(alpha_ref, w_ref, dphi_ref, dl_ref, *rest, precision, exp2):
                                      precision)
 
 
+def _kernel_dirblock(alpha_ref, w_ref, dphi_ref, dl_ref, *rest,
+                     precision, exp2, db):
+    """:func:`_kernel` consuming ``db`` directions per grid step: the
+    per-step contribution is accumulated in a LOCAL value (one VMEM
+    scratch read-modify-write per ``db`` directions instead of one per
+    direction) and the two ``pl.when`` branch blocks run once per step.
+    Bit-identical math up to the direction-sum association order (a sum
+    of ``ndir`` positive damping terms; reassociation is ~1 ulp)."""
+    a2_ref, u_ref, gsum_ref = rest
+    d = pl.program_id(1)
+    nsteps = pl.num_programs(1)
+    nl = gsum_ref.shape[0]
+
+    for l in range(nl):
+        acc = None
+        for dd in range(db):
+            dp = dphi_ref[dd]
+            if exp2:
+                c = jnp.exp2(alpha_ref[l] * dp + w_ref[l, d * db + dd])
+            else:
+                c = jnp.exp(alpha_ref[l] * dp) * w_ref[l, d * db + dd]
+            acc = c if acc is None else acc + c
+
+        @pl.when(d == 0)
+        def _(l=l, acc=acc):
+            gsum_ref[l] = acc
+
+        @pl.when(d > 0)
+        def _(l=l, acc=acc):
+            gsum_ref[l] = gsum_ref[l] + acc
+
+    @pl.when(d == nsteps - 1)
+    def _():
+        dlt = dl_ref[:, :]
+        for l in range(nl):
+            u_ref[l] = _mxu_contract(a2_ref[l], gsum_ref[l] * dlt,
+                                     precision)
+
+
+def _kernel_dirfull(alpha_ref, w_ref, dphi_ref, dl_ref, a2_ref, u_ref,
+                    *, precision, exp2, ndir):
+    """Single-step direction-block body (``dir_block == ndir``): the
+    whole direction average for wavelength ``l`` is accumulated locally
+    and contracted IMMEDIATELY — no accumulation scratch, no branches,
+    and wavelength ``l+1``'s exponentials are independent of wavelength
+    ``l``'s matmul, so the compiler may overlap VPU and MXU work."""
+    nl = u_ref.shape[0]
+    dlt = dl_ref[:, :]
+    for l in range(nl):
+        acc = None
+        for dd in range(ndir):
+            dp = dphi_ref[dd]
+            if exp2:
+                c = jnp.exp2(alpha_ref[l] * dp + w_ref[l, dd])
+            else:
+                c = jnp.exp(alpha_ref[l] * dp) * w_ref[l, dd]
+            acc = c if acc is None else acc + c
+        u_ref[l] = _mxu_contract(a2_ref[l], acc * dlt, precision)
+
+
 def _mxu_contract(a2_l, g, precision):
     """One zoom-DFT stage-1 contraction at the requested f32 scheme."""
     dims = (((1,), (0,)), ((), ()))
@@ -247,7 +307,7 @@ def disc_column_groups(block_mask, tile_j: int = 128,
 def fused_exp_zoom_disc(dphi, dl, a2, alpha, w, block_mask,
                         tile_j: int = 128, row_block: int = 128,
                         precision: str = "highest", exp2: bool = False,
-                        interpret: bool = False):
+                        dir_block: int = 1, interpret: bool = False):
     """:func:`fused_exp_zoom` with dead diffraction-support blocks
     skipped by a static column-group split.
 
@@ -275,15 +335,16 @@ def fused_exp_zoom_disc(dphi, dl, a2, alpha, w, block_mask,
             dphi[:, row_lo:row_hi, col_lo:col_hi],
             dl[row_lo:row_hi, col_lo:col_hi],
             a2[:, :, row_lo:row_hi], alpha, w, tile_j=tile_j,
-            precision=precision, exp2=exp2, interpret=interpret))
+            precision=precision, exp2=exp2, dir_block=dir_block,
+            interpret=interpret))
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
 
 
 @partial(jax.jit, static_argnames=("tile_j", "precision", "exp2",
-                                   "interpret"))
+                                   "dir_block", "interpret"))
 def fused_exp_zoom(dphi, dl, a2, alpha, w, tile_j: int = 128,
                    precision: str = "highest", exp2: bool = False,
-                   interpret: bool = False):
+                   dir_block: int = 1, interpret: bool = False):
     """U[l] = A2[l] @ (sum_d exp(alpha[l]*Dphi[d]) * w[l,d] * dl).
 
     dphi: (ndir, N, ncols) float32 — ``ncols`` may be less than N under
@@ -300,11 +361,23 @@ def fused_exp_zoom(dphi, dl, a2, alpha, w, tile_j: int = 128,
     math up to argument rounding.  Requires ``w >= 0`` (``w = 0`` maps
     to ``log2 0 = -inf`` and a clean flush to zero; the production
     weights ``1/(ndir*norm)`` are strictly positive).
+
+    ``dir_block=db`` (cfg.pallas_dir_block policy) streams ``db``
+    directions per grid step (``ndir % db == 0``): the per-step partial
+    sum accumulates in a local value, cutting the VMEM scratch
+    read-modify-writes and branch blocks ``db``-fold; at ``db == ndir``
+    the scratch disappears entirely and each wavelength's MXU
+    contraction issues right after its exponentials (VPU/MXU overlap).
+    Costs ``db``-fold dphi pipeline VMEM — see the gate in
+    otf/psf.py:_pallas_lambda_chunk.  Direction-sum reassociation only
+    (~1 ulp; the terms are positive).
     """
     ndir, n, ncols = dphi.shape
     nl, m2, _ = a2.shape
     assert ncols % tile_j == 0, (ncols, tile_j)
     assert dl.shape[0] == n and dl.shape[1] >= ncols, (dl.shape, n, ncols)
+    db = int(dir_block) if dir_block else 1
+    assert db >= 1 and ndir % db == 0, (ndir, db)
     alpha = jnp.asarray(alpha, jnp.float32)
     w = jnp.asarray(w, jnp.float32)
     if exp2:
@@ -315,20 +388,31 @@ def fused_exp_zoom(dphi, dl, a2, alpha, w, tile_j: int = 128,
                          "'default' (1-pass bf16) is outside the accuracy "
                          "budget")
 
-    grid = (ncols // tile_j, ndir)
+    nsteps = ndir // db
+    grid = (ncols // tile_j, nsteps)
+    if db == 1:
+        kernel = partial(_kernel, precision=precision, exp2=exp2)
+    elif nsteps > 1:
+        kernel = partial(_kernel_dirblock, precision=precision, exp2=exp2,
+                         db=db)
+    else:
+        kernel = partial(_kernel_dirfull, precision=precision, exp2=exp2,
+                         ndir=ndir)
+    scratch = ([] if (db > 1 and nsteps == 1)
+               else [pltpu.VMEM((nl, n, tile_j), jnp.float32)])
     return pl.pallas_call(
-        partial(_kernel, precision=precision, exp2=exp2),
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, n, tile_j), lambda j, d, a, wt: (d, 0, j)),
+                pl.BlockSpec((db, n, tile_j), lambda j, d, a, wt: (d, 0, j)),
                 pl.BlockSpec((n, tile_j), lambda j, d, a, wt: (0, j)),
                 pl.BlockSpec((nl, m2, n), lambda j, d, a, wt: (0, 0, 0)),
             ],
             out_specs=pl.BlockSpec((nl, m2, tile_j),
                                    lambda j, d, a, wt: (0, 0, j)),
-            scratch_shapes=[pltpu.VMEM((nl, n, tile_j), jnp.float32)],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((nl, m2, ncols), jnp.float32),
         compiler_params=pltpu.CompilerParams(

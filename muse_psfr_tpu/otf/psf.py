@@ -494,6 +494,44 @@ def _pallas_lambda_chunk(cfg: GalacsiConfig, nrows: int,
     return max(0, (budget - fixed) // per_k)
 
 
+def _pallas_dir_block(cfg: GalacsiConfig, nrows: int, ndir: int,
+                      k: int) -> int:
+    """Directions per fused-kernel grid step (ops/zoom_dft.py
+    ``fused_exp_zoom(dir_block=...)``): the largest divisor of ``ndir``
+    whose VMEM budget fits at the ALREADY-CHOSEN wavelength chunk ``k``
+    — the chunk policy stays primary because shrinking the chunk to
+    admit a bigger block is a measured loss (full window: db=1@k7
+    29.9 us/lambda beats db=3@k5 31.0 and db=1@k5 33.7;
+    benchmarks/measure_dir_block.py).  Same block model as
+    :func:`_pallas_lambda_chunk`, with the dphi pipeline blocks scaled
+    by ``db``; ``db == ndir`` drops the accumulation scratch but uses
+    the anchor-calibrated lower budget (Mosaic reported 16.20M > the
+    16M scoped-vmem limit for the full-window db=9 case at k=2 that
+    this formula would otherwise admit at 15.4M)."""
+    sel = cfg.pallas_dir_block
+    if not sel or sel == 1:
+        return 1
+    if sel != "auto":
+        db = int(sel)
+        if db < 1 or ndir % db:
+            raise ValueError(
+                f"pallas_dir_block={sel!r} must divide ndir={ndir}")
+        return db
+    m2, tj = 4 * cfg.dimpsf, 128
+    for db in range(ndir, 0, -1):
+        if ndir % db:
+            continue
+        single = db == ndir and db > 1          # scratch-free kernel body
+        per_k = 4 * (m2 * nrows + 2 * 2 * m2 * tj)
+        budget = 15_000_000 if single else 15_800_000
+        if not single:
+            per_k += 4 * nrows * tj             # accumulation scratch
+        fixed = 4 * (2 * db + 2) * nrows * tj   # dphi + dl blocks
+        if fixed + per_k * k <= budget:
+            return db
+    return 1
+
+
 def _pallas_chunk_policy(cfg: GalacsiConfig, k_fit: int) -> int:
     """The wavelength-chunk CAP for the fused Pallas kernel given its
     VMEM-fit chunk ``k_fit``: ``pallas_lambda_chunk`` when that fits in
@@ -602,7 +640,8 @@ def resolve_zoom_anchor(cfg: GalacsiConfig, lbda_nm, ndir: int):
     return cfg.with_(zoom_anchor="on")
 
 
-def _psf_chunk_pallas(base, dl, lb_k, npix_k, cfg, interpret=False):
+def _psf_chunk_pallas(base, dl, lb_k, npix_k, cfg, dir_block=1,
+                      interpret=False):
     """Fused Pallas path for one wavelength chunk: the direction-averaged
     system OTF is built tile-by-tile in VMEM and contracted on the MXU —
     it never exists in HBM, and the structure function is read once per
@@ -676,11 +715,12 @@ def _psf_chunk_pallas(base, dl, lb_k, npix_k, cfg, interpret=False):
                                     a2, alpha, w, msk,
                                     precision=cfg.zoom_precision,
                                     exp2=cfg.zoom_exp2,
+                                    dir_block=dir_block,
                                     interpret=interpret)
         else:
             u = fused_exp_zoom(base, dl[r_lo:r_hi, r_lo:col_hi], a2,
                                alpha, w, precision=cfg.zoom_precision,
-                               exp2=cfg.zoom_exp2,
+                               exp2=cfg.zoom_exp2, dir_block=dir_block,
                                interpret=interpret)
     m = 2 * nout
     mm = _mm(cfg)
@@ -908,8 +948,12 @@ def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig):
     npx = jnp.concatenate([npixc, jnp.broadcast_to(npixc[-1], (pad,))])
     if pallas_ok:
         # one fused kernel per chunk: Dphi read once for all K lambdas,
-        # direction average accumulated in VMEM
-        f = lambda a, b: _psf_chunk_pallas(base, dl, a, b, cfg)  # noqa: E731
+        # direction average accumulated in VMEM; multiple directions per
+        # grid step where the VMEM budget admits it (kernel 1.52x at the
+        # windowed ndir=9 shape — _pallas_dir_block)
+        db = _pallas_dir_block(cfg, base.shape[-2], base.shape[0], k)
+        f = lambda a, b: _psf_chunk_pallas(  # noqa: E731
+            base, dl, a, b, cfg, dir_block=db)
     else:
         f = jax.vmap(lambda a, b: one_lambda((a, b)))
     res = jax.lax.map(lambda args: f(*args),

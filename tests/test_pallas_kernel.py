@@ -409,3 +409,91 @@ def test_psf_chunk_pallas_disc_matches_plain():
                              interpret=True)
     got = _psf_chunk_pallas(base, dl, lb, npx, cfg, interpret=True)
     assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-7)
+
+
+@pytest.mark.parametrize("db", [3, 9])
+def test_fused_exp_zoom_dir_block_matches(db):
+    """dir_block streams several directions per grid step with LOCAL
+    accumulation (db == ndir additionally drops the scratch and issues
+    each wavelength's contraction immediately).  Only the direction-sum
+    association order changes — a sum of positive damping terms, so the
+    variants must agree to ~1 ulp of the f64 reference tolerance."""
+    ndir, n, ncols, nl, m2 = 9, 256, 256, 4, 16
+    rng = np.random.default_rng(17)
+    dphi = rng.uniform(0, 40, (ndir, n, ncols)).astype(np.float32)
+    dl = rng.uniform(0, 1, (n, ncols)).astype(np.float32)
+    a2 = (rng.standard_normal((nl, m2, n)) / n).astype(np.float32)
+    alpha = rng.uniform(-0.3, -0.1, nl).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, (nl, ndir)).astype(np.float32)
+    for exp2 in (False, True):
+        u0 = zoom_dft.fused_exp_zoom(
+            jnp.asarray(dphi), jnp.asarray(dl), jnp.asarray(a2), alpha, w,
+            precision="highest", exp2=exp2, interpret=True)
+        u1 = zoom_dft.fused_exp_zoom(
+            jnp.asarray(dphi), jnp.asarray(dl), jnp.asarray(a2), alpha, w,
+            precision="highest", exp2=exp2, dir_block=db, interpret=True)
+        scale = float(np.abs(np.asarray(u0)).max())
+        assert np.abs(np.asarray(u1) - np.asarray(u0)).max() <= 3e-6 * scale
+
+
+def test_fused_exp_zoom_dir_block_validation():
+    ndir, n, nl, m2 = 9, 128, 2, 8
+    rng = np.random.default_rng(1)
+    args = (jnp.asarray(rng.uniform(0, 5, (ndir, n, n)), jnp.float32),
+            jnp.asarray(rng.uniform(0, 1, (n, n)), jnp.float32),
+            jnp.asarray(rng.standard_normal((nl, m2, n)), jnp.float32),
+            np.float32([-0.2, -0.1]), np.ones((nl, ndir), np.float32))
+    with pytest.raises(AssertionError):
+        zoom_dft.fused_exp_zoom(*args, dir_block=4, interpret=True)
+
+
+def test_pallas_dir_block_policy():
+    """Pinned 'auto' decisions at the production geometries (the chunk
+    stays primary; the block must fit the SAME VMEM budget model as
+    _pallas_lambda_chunk, with the db == ndir scratch-free body on the
+    anchor-calibrated lower budget — the full-window db=9 case that the
+    plain model admits at 15.4M measured 16.20M in Mosaic)."""
+    from muse_psfr_tpu.config import GalacsiConfig
+    from muse_psfr_tpu.otf.psf import _pallas_dir_block
+    cfg = GalacsiConfig()
+    # dim=1280 reduced bucket (512 rows): scratch-free full block
+    assert _pallas_dir_block(cfg, 512, 9, 12) == 9
+    # dim=1280 full window: stays 1 (db=3 would not fit at chunk 7, and
+    # trading the chunk down for the block is a measured per-lambda wash)
+    assert _pallas_dir_block(cfg, 1280, 9, 7) == 1
+    # dim=2048 reduced bucket (1024 rows, chunk 7): partial block
+    assert _pallas_dir_block(GalacsiConfig(dim=2048), 1024, 9, 7) == 3
+    # single direction (npsflin=1): nothing to block
+    assert _pallas_dir_block(cfg, 512, 1, 12) == 1
+    # forced/int and off forms
+    assert _pallas_dir_block(cfg.with_(pallas_dir_block=3), 512, 9, 12) == 3
+    assert _pallas_dir_block(cfg.with_(pallas_dir_block=0), 512, 9, 12) == 1
+    assert _pallas_dir_block(cfg.with_(pallas_dir_block=1), 512, 9, 12) == 1
+    with pytest.raises(ValueError):
+        _pallas_dir_block(cfg.with_(pallas_dir_block=4), 512, 9, 12)
+
+
+def test_psf_chunk_pallas_dir_block_matches_plain():
+    """The chunk path with a forced direction block must match the
+    default path to direction-sum reassociation roundoff."""
+    from muse_psfr_tpu.config import GalacsiConfig
+    from muse_psfr_tpu.otf.psf import (_psf_chunk_pallas,
+                                       lambda_crop_size, pupil_otf)
+    cfg = GalacsiConfig(dim=512, dim_pup=16, dimpsf=12)
+    ndir = 9
+    r_lo, S = cfg.otf_window
+    rng = np.random.default_rng(5)
+    rr = np.hypot(np.add.outer(np.arange(2 * S) - S, np.zeros(S + 128)),
+                  np.add.outer(np.zeros(2 * S), np.arange(S + 128) - S))
+    base = (2e4 * (rr / S) ** 0.8
+            * (1.0 + 0.05 * rng.standard_normal((ndir, 2 * S, S + 128))))
+    base = jnp.asarray(base, cfg.dtype)
+    lb = jnp.asarray([700.0, 900.0], cfg.dtype)
+    npx = lambda_crop_size(lb, cfg)
+    dl = pupil_otf(cfg)
+    want = _psf_chunk_pallas(base, dl, lb, npx, cfg, interpret=True)
+    for db in (3, 9):
+        got = _psf_chunk_pallas(base, dl, lb, npx, cfg, dir_block=db,
+                                interpret=True)
+        assert_allclose(np.asarray(got), np.asarray(want), rtol=0,
+                        atol=2e-6)
