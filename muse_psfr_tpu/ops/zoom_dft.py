@@ -142,6 +142,40 @@ def _kernel_dirfull(alpha_ref, w_ref, dphi_ref, dl_ref, a2_ref, u_ref,
         u_ref[l] = _mxu_contract(a2_ref[l], acc * dlt, precision)
 
 
+def _kernel_rowacc(alpha_ref, w_ref, dphi_ref, dl_ref, a2_ref, u_ref,
+                   *, precision, exp2, ndir):
+    """Row-sliced full-direction-block body: grid ``(J, R)`` where step
+    ``r`` holds rows ``[r*h, (r+1)*h)`` of the contraction.  Each
+    wavelength's PARTIAL contraction accumulates into the revisited
+    output block — ``u_ref``'s index map ignores ``r``, so the block
+    stays resident in VMEM across the sequential row steps and the
+    partial sums never round-trip HBM (an XLA-level slice-and-add of
+    two launches measured a consistent night-level LOSS from exactly
+    that traffic).  Splitting the rows is what shrinks the dphi/a2
+    blocks until the scratch-free full direction block fits."""
+    r = pl.program_id(1)
+    nl = u_ref.shape[0]
+    dlt = dl_ref[:, :]
+    for l in range(nl):
+        acc = None
+        for dd in range(ndir):
+            dp = dphi_ref[dd]
+            if exp2:
+                c = jnp.exp2(alpha_ref[l] * dp + w_ref[l, dd])
+            else:
+                c = jnp.exp(alpha_ref[l] * dp) * w_ref[l, dd]
+            acc = c if acc is None else acc + c
+        contrib = _mxu_contract(a2_ref[l], acc * dlt, precision)
+
+        @pl.when(r == 0)
+        def _(l=l, contrib=contrib):
+            u_ref[l] = contrib
+
+        @pl.when(r > 0)
+        def _(l=l, contrib=contrib):
+            u_ref[l] = u_ref[l] + contrib
+
+
 def _mxu_contract(a2_l, g, precision):
     """One zoom-DFT stage-1 contraction at the requested f32 scheme."""
     dims = (((1,), (0,)), ((), ()))
@@ -341,10 +375,11 @@ def fused_exp_zoom_disc(dphi, dl, a2, alpha, w, block_mask,
 
 
 @partial(jax.jit, static_argnames=("tile_j", "precision", "exp2",
-                                   "dir_block", "interpret"))
+                                   "dir_block", "row_splits", "interpret"))
 def fused_exp_zoom(dphi, dl, a2, alpha, w, tile_j: int = 128,
                    precision: str = "highest", exp2: bool = False,
-                   dir_block: int = 1, interpret: bool = False):
+                   dir_block: int = 1, row_splits: int = 1,
+                   interpret: bool = False):
     """U[l] = A2[l] @ (sum_d exp(alpha[l]*Dphi[d]) * w[l,d] * dl).
 
     dphi: (ndir, N, ncols) float32 — ``ncols`` may be less than N under
@@ -371,6 +406,14 @@ def fused_exp_zoom(dphi, dl, a2, alpha, w, tile_j: int = 128,
     Costs ``db``-fold dphi pipeline VMEM — see the gate in
     otf/psf.py:_pallas_lambda_chunk.  Direction-sum reassociation only
     (~1 ulp; the terms are positive).
+
+    ``row_splits=R`` (requires ``dir_block == ndir``) adds a SEQUENTIAL
+    row-slice grid dimension: step ``r`` computes rows
+    ``[r*n/R, (r+1)*n/R)`` and accumulates each wavelength's partial
+    contraction into the revisited VMEM-resident output block — the
+    dphi/a2 blocks shrink R-fold, which is what lets window heights too
+    tall for the single-launch full direction block run it anyway.  One
+    extra f32 reassociation of the contraction sum (~2e-7 relative).
     """
     ndir, n, ncols = dphi.shape
     nl, m2, _ = a2.shape
@@ -378,6 +421,8 @@ def fused_exp_zoom(dphi, dl, a2, alpha, w, tile_j: int = 128,
     assert dl.shape[0] == n and dl.shape[1] >= ncols, (dl.shape, n, ncols)
     db = int(dir_block) if dir_block else 1
     assert db >= 1 and ndir % db == 0, (ndir, db)
+    rs = int(row_splits) if row_splits else 1
+    assert rs >= 1 and n % rs == 0 and (n // rs) % 8 == 0, (n, rs)
     alpha = jnp.asarray(alpha, jnp.float32)
     w = jnp.asarray(w, jnp.float32)
     if exp2:
@@ -387,6 +432,41 @@ def fused_exp_zoom(dphi, dl, a2, alpha, w, tile_j: int = 128,
         raise ValueError(f"unsupported zoom precision {precision!r}; "
                          "'default' (1-pass bf16) is outside the accuracy "
                          "budget")
+
+    if rs > 1:
+        assert db == ndir, (db, ndir, rs)
+        h = n // rs
+        grid = (ncols // tile_j, rs)
+        return pl.pallas_call(
+            partial(_kernel_rowacc, precision=precision, exp2=exp2,
+                    ndir=ndir),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((ndir, h, tile_j),
+                                 lambda j, r, a, wt: (0, r, j)),
+                    pl.BlockSpec((h, tile_j), lambda j, r, a, wt: (r, j)),
+                    pl.BlockSpec((nl, m2, h), lambda j, r, a, wt: (0, 0, r)),
+                ],
+                # index map ignores r: the block is revisited across the
+                # sequential row steps and stays resident in VMEM
+                out_specs=pl.BlockSpec((nl, m2, tile_j),
+                                       lambda j, r, a, wt: (0, 0, j)),
+            ),
+            out_shape=jax.ShapeDtypeStruct((nl, m2, ncols), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=(2 * nl * m2 * n * ncols
+                       + 2 * nl * ndir * n * ncols),
+                bytes_accessed=(4 * (ndir + 1) * n * ncols
+                                + 2 * 4 * nl * m2 * n),
+                transcendentals=nl * ndir * n * ncols,
+            ),
+            interpret=interpret,
+        )(alpha, w, dphi, dl, a2)
 
     nsteps = ndir // db
     grid = (ncols // tile_j, nsteps)

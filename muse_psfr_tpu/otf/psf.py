@@ -532,6 +532,40 @@ def _pallas_dir_block(cfg: GalacsiConfig, nrows: int, ndir: int,
     return 1
 
 
+def _pallas_zoom_plan(cfg: GalacsiConfig, nrows: int, ndir: int,
+                      k: int):
+    """(row_splits, dir_block) for the fused zoom launch.  When the
+    scratch-free full direction block (``db == ndir``) does not fit at
+    ``nrows``, the contraction rows can be SPLIT into equal slices —
+    each slice is an independent launch whose partial zoom outputs sum
+    exactly (one extra f32 reassociation of the contraction, ~2e-7
+    relative) — shrinking every per-row VMEM term until the full block
+    fits.  Measured at the dim=1280 full-window production shape
+    (9, 1280, 768) k=7: two 640-row db=9 launches run 1.42x the single
+    db=1 launch (29.0 -> 20.4 us/lambda) while db=3-with-scratch LOSES
+    (33.7) — so the plan only ever splits for the full block, and only
+    under "auto" (an explicit integer ``pallas_dir_block`` keeps the
+    user's single-launch layout)."""
+    db = _pallas_dir_block(cfg, nrows, ndir, k)
+    if (db == ndir or ndir == 1 or cfg.pallas_dir_block != "auto"):
+        return 1, db
+    m2, tj = 4 * cfg.dimpsf, 128
+    for splits in (2, 4):
+        h = nrows // splits
+        if nrows % splits or h % 128:
+            continue
+        # row-accumulating kernel blocks: a2 is sliced over the row
+        # steps (so double-buffered, unlike the single-launch kernel's
+        # one resident block), dphi carries all ndir directions, and the
+        # revisited output block never leaves VMEM; anchor-calibrated
+        # budget as for the scratch-free body
+        per_k = 4 * (2 * m2 * h + 2 * 2 * m2 * tj)
+        fixed = 4 * (2 * ndir + 2) * h * tj
+        if fixed + per_k * k <= 15_000_000:
+            return splits, ndir
+    return 1, db
+
+
 def _pallas_chunk_policy(cfg: GalacsiConfig, k_fit: int) -> int:
     """The wavelength-chunk CAP for the fused Pallas kernel given its
     VMEM-fit chunk ``k_fit``: ``pallas_lambda_chunk`` when that fits in
@@ -641,7 +675,7 @@ def resolve_zoom_anchor(cfg: GalacsiConfig, lbda_nm, ndir: int):
 
 
 def _psf_chunk_pallas(base, dl, lb_k, npix_k, cfg, dir_block=1,
-                      interpret=False):
+                      row_splits=1, interpret=False):
     """Fused Pallas path for one wavelength chunk: the direction-averaged
     system OTF is built tile-by-tile in VMEM and contracted on the MXU —
     it never exists in HBM, and the structure function is read once per
@@ -711,17 +745,27 @@ def _psf_chunk_pallas(base, dl, lb_k, npix_k, cfg, dir_block=1,
                    and ndir >= cfg.pallas_disc_min_ndir) else None)
         if msk is not None:
             from ..ops.zoom_dft import fused_exp_zoom_disc
+            # the disc split runs UNSPLIT rows: a direction block that
+            # only fits under a row split must not reach it
+            db_disc = 1 if row_splits > 1 else dir_block
             u = fused_exp_zoom_disc(base, dl[r_lo:r_hi, r_lo:col_hi],
                                     a2, alpha, w, msk,
                                     precision=cfg.zoom_precision,
                                     exp2=cfg.zoom_exp2,
-                                    dir_block=dir_block,
+                                    dir_block=db_disc,
                                     interpret=interpret)
         else:
+            # row_splits > 1 adds a sequential in-kernel row-slice grid
+            # dimension accumulating into the VMEM-resident output block
+            # — what admits the scratch-free full direction block at
+            # window heights whose single-slice VMEM would not fit (see
+            # _pallas_zoom_plan; an XLA-level slice-and-add variant
+            # measured a consistent night-level LOSS from the per-row
+            # partial-sum HBM round trips)
             u = fused_exp_zoom(base, dl[r_lo:r_hi, r_lo:col_hi], a2,
                                alpha, w, precision=cfg.zoom_precision,
                                exp2=cfg.zoom_exp2, dir_block=dir_block,
-                               interpret=interpret)
+                               row_splits=row_splits, interpret=interpret)
     m = 2 * nout
     mm = _mm(cfg)
     if win is not None:
@@ -950,10 +994,13 @@ def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig):
         # one fused kernel per chunk: Dphi read once for all K lambdas,
         # direction average accumulated in VMEM; multiple directions per
         # grid step where the VMEM budget admits it (kernel 1.52x at the
-        # windowed ndir=9 shape — _pallas_dir_block)
-        db = _pallas_dir_block(cfg, base.shape[-2], base.shape[0], k)
+        # windowed ndir=9 shape), with the contraction rows split into
+        # slices where that is what lets the full block fit (1.42x at
+        # the full-window ndir=9 shape) — _pallas_zoom_plan
+        splits, db = _pallas_zoom_plan(cfg, base.shape[-2],
+                                       base.shape[0], k)
         f = lambda a, b: _psf_chunk_pallas(  # noqa: E731
-            base, dl, a, b, cfg, dir_block=db)
+            base, dl, a, b, cfg, dir_block=db, row_splits=splits)
     else:
         f = jax.vmap(lambda a, b: one_lambda((a, b)))
     res = jax.lax.map(lambda args: f(*args),

@@ -497,3 +497,76 @@ def test_psf_chunk_pallas_dir_block_matches_plain():
                                 interpret=True)
         assert_allclose(np.asarray(got), np.asarray(want), rtol=0,
                         atol=2e-6)
+
+
+def test_pallas_zoom_plan():
+    """Pinned (row_splits, dir_block) plans: the rows split ONLY when
+    that is what admits the scratch-free full direction block (full
+    window 1280: two 640-row db=9 launches measured 1.42x the single
+    db=1 launch, while db=3-with-scratch loses), never under an
+    explicit pallas_dir_block, and never for ndir=1."""
+    from muse_psfr_tpu.config import GalacsiConfig
+    from muse_psfr_tpu.otf.psf import _pallas_zoom_plan
+    cfg = GalacsiConfig()
+    assert _pallas_zoom_plan(cfg, 512, 9, 12) == (1, 9)
+    assert _pallas_zoom_plan(cfg, 1280, 9, 7) == (2, 9)
+    assert _pallas_zoom_plan(GalacsiConfig(dim=2048), 1024, 9, 7) == (2, 9)
+    # 2048 full: a 1024-row slice still blows the budget (17M) -> 4x512
+    assert _pallas_zoom_plan(GalacsiConfig(dim=2048), 2048, 9, 4) == (4, 9)
+    assert _pallas_zoom_plan(cfg, 1280, 1, 7) == (1, 1)
+    assert _pallas_zoom_plan(cfg.with_(pallas_dir_block=3), 1280, 9, 7) \
+        == (1, 3)
+    assert _pallas_zoom_plan(cfg.with_(pallas_dir_block=0), 1280, 9, 7) \
+        == (1, 1)
+
+
+def test_psf_chunk_pallas_row_split_matches_plain():
+    """The row-sliced launch sum must match the single launch to the
+    one extra f32 contraction reassociation."""
+    from muse_psfr_tpu.config import GalacsiConfig
+    from muse_psfr_tpu.otf.psf import (_psf_chunk_pallas,
+                                       lambda_crop_size, pupil_otf)
+    cfg = GalacsiConfig(dim=512, dim_pup=16, dimpsf=12)
+    ndir = 9
+    r_lo, S = cfg.otf_window
+    rng = np.random.default_rng(5)
+    rr = np.hypot(np.add.outer(np.arange(2 * S) - S, np.zeros(S + 128)),
+                  np.add.outer(np.zeros(2 * S), np.arange(S + 128) - S))
+    base = (2e4 * (rr / S) ** 0.8
+            * (1.0 + 0.05 * rng.standard_normal((ndir, 2 * S, S + 128))))
+    base = jnp.asarray(base, cfg.dtype)
+    lb = jnp.asarray([700.0, 900.0], cfg.dtype)
+    npx = lambda_crop_size(lb, cfg)
+    dl = pupil_otf(cfg)
+    want = _psf_chunk_pallas(base, dl, lb, npx, cfg, interpret=True)
+    got = _psf_chunk_pallas(base, dl, lb, npx, cfg, dir_block=9,
+                            row_splits=2, interpret=True)
+    assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=2e-6)
+
+
+def test_fused_exp_zoom_row_splits_matches():
+    """The in-kernel row-slice accumulation (row_splits, revisited
+    output block) must match the single launch to contraction
+    reassociation roundoff, and reject a non-full direction block."""
+    ndir, n, ncols, nl, m2 = 9, 256, 256, 4, 16
+    rng = np.random.default_rng(23)
+    dphi = rng.uniform(0, 40, (ndir, n, ncols)).astype(np.float32)
+    dl = rng.uniform(0, 1, (n, ncols)).astype(np.float32)
+    a2 = (rng.standard_normal((nl, m2, n)) / n).astype(np.float32)
+    alpha = rng.uniform(-0.3, -0.1, nl).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, (nl, ndir)).astype(np.float32)
+    u0 = zoom_dft.fused_exp_zoom(
+        jnp.asarray(dphi), jnp.asarray(dl), jnp.asarray(a2), alpha, w,
+        precision="highest", interpret=True)
+    for exp2 in (False, True):
+        u1 = zoom_dft.fused_exp_zoom(
+            jnp.asarray(dphi), jnp.asarray(dl), jnp.asarray(a2), alpha, w,
+            precision="highest", exp2=exp2, dir_block=ndir, row_splits=2,
+            interpret=True)
+        scale = float(np.abs(np.asarray(u0)).max())
+        assert np.abs(np.asarray(u1) - np.asarray(u0)).max() \
+            <= 3e-6 * scale
+    with pytest.raises(AssertionError):
+        zoom_dft.fused_exp_zoom(
+            jnp.asarray(dphi), jnp.asarray(dl), jnp.asarray(a2), alpha, w,
+            dir_block=3, row_splits=2, interpret=True)
