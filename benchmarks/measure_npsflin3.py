@@ -20,7 +20,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 22  # 2x22 = exact full-bucket packing (RESULTS.md)
+CHUNK = int(sys.argv[2]) if len(sys.argv) > 2 else 44  # one unpadded full-bucket chunk; 1.34x over 22 after the dir-block/row-split kernels (RESULTS.md)
 REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 NPSFLIN = int(os.environ.get("MUSE_PSFR_NPSFLIN", "3"))
 NL = 35

@@ -61,7 +61,7 @@ def main():
     # 3a. full night in the 9-direction mode (npsflin=3, the reference's
     # compute_psf_from_sparta default signature)
     t, _ = timed(lambda: (process_batch(
-        seeing, GL, L0, mask, lb35, npsflin=3, cfg=cfg, chunk=22)))
+        seeing, GL, L0, mask, lb35, npsflin=3, cfg=cfg, chunk=44)))
     rows.append(("full night, npsflin=3 (9 directions): 100 rows x 35 "
                  "lambda", 100, t))
 
