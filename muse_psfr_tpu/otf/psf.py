@@ -533,22 +533,31 @@ def _pallas_dir_block(cfg: GalacsiConfig, nrows: int, ndir: int,
 
 
 def _pallas_zoom_plan(cfg: GalacsiConfig, nrows: int, ndir: int,
-                      k: int):
-    """(row_splits, dir_block) for the fused zoom launch.  When the
-    scratch-free full direction block (``db == ndir``) does not fit at
-    ``nrows``, the contraction rows can be SPLIT into equal slices —
-    each slice is an independent launch whose partial zoom outputs sum
-    exactly (one extra f32 reassociation of the contraction, ~2e-7
-    relative) — shrinking every per-row VMEM term until the full block
-    fits.  Measured at the dim=1280 full-window production shape
-    (9, 1280, 768) k=7: two 640-row db=9 launches run 1.42x the single
-    db=1 launch (29.0 -> 20.4 us/lambda) while db=3-with-scratch LOSES
-    (33.7) — so the plan only ever splits for the full block, and only
-    under "auto" (an explicit integer ``pallas_dir_block`` keeps the
-    user's single-launch layout)."""
+                      k: int, ncols: int = 0):
+    """(row_splits, dir_block, tile_j) for the fused zoom launch.
+
+    When the scratch-free full direction block (``db == ndir``) does
+    not fit at ``nrows``, the contraction rows can be SPLIT into equal
+    slices — each slice is an independent launch whose partial zoom
+    outputs sum exactly (one extra f32 reassociation of the
+    contraction, ~2e-7 relative) — shrinking every per-row VMEM term
+    until the full block fits.  Measured at the dim=1280 full-window
+    production shape (9, 1280, 768) k=7: two 640-row db=9 launches run
+    1.42x the single db=1 launch (29.0 -> 20.4 us/lambda) while
+    db=3-with-scratch LOSES (33.7) — so the plan only ever splits for
+    the full block, and only under "auto" (an explicit integer
+    ``pallas_dir_block`` keeps the user's single-launch layout).
+
+    ``tile_j``: always 128.  A 256-column tile on the single-direction
+    full-grid shape measured 1.07x in ISOLATION ((1, 1280, 768) k=7:
+    8.38 -> 7.80 us/lambda) but 0.981 paired median at night level
+    (7/10 pairs below 1 on a clean chip) — the wide tile pipelines
+    worse under the row vmap — and every ndir=9 256-column variant
+    fails to compile (VMEM).  MEASURED NEGATIVE end-to-end; the
+    ``tile_j`` plumbing stays for experiments (RESULTS.md)."""
     db = _pallas_dir_block(cfg, nrows, ndir, k)
     if (db == ndir or ndir == 1 or cfg.pallas_dir_block != "auto"):
-        return 1, db
+        return 1, db, 128
     m2, tj = 4 * cfg.dimpsf, 128
     for splits in (2, 4):
         h = nrows // splits
@@ -562,8 +571,8 @@ def _pallas_zoom_plan(cfg: GalacsiConfig, nrows: int, ndir: int,
         per_k = 4 * (2 * m2 * h + 2 * 2 * m2 * tj)
         fixed = 4 * (2 * ndir + 2) * h * tj
         if fixed + per_k * k <= 15_000_000:
-            return splits, ndir
-    return 1, db
+            return splits, ndir, 128
+    return 1, db, 128
 
 
 def _pallas_chunk_policy(cfg: GalacsiConfig, k_fit: int) -> int:
@@ -675,7 +684,7 @@ def resolve_zoom_anchor(cfg: GalacsiConfig, lbda_nm, ndir: int):
 
 
 def _psf_chunk_pallas(base, dl, lb_k, npix_k, cfg, dir_block=1,
-                      row_splits=1, interpret=False):
+                      row_splits=1, tile_j=128, interpret=False):
     """Fused Pallas path for one wavelength chunk: the direction-averaged
     system OTF is built tile-by-tile in VMEM and contracted on the MXU —
     it never exists in HBM, and the structure function is read once per
@@ -763,7 +772,8 @@ def _psf_chunk_pallas(base, dl, lb_k, npix_k, cfg, dir_block=1,
             # measured a consistent night-level LOSS from the per-row
             # partial-sum HBM round trips)
             u = fused_exp_zoom(base, dl[r_lo:r_hi, r_lo:col_hi], a2,
-                               alpha, w, precision=cfg.zoom_precision,
+                               alpha, w, tile_j=tile_j,
+                               precision=cfg.zoom_precision,
                                exp2=cfg.zoom_exp2, dir_block=dir_block,
                                row_splits=row_splits, interpret=interpret)
     m = 2 * nout
@@ -997,10 +1007,12 @@ def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig):
         # windowed ndir=9 shape), with the contraction rows split into
         # slices where that is what lets the full block fit (1.42x at
         # the full-window ndir=9 shape) — _pallas_zoom_plan
-        splits, db = _pallas_zoom_plan(cfg, base.shape[-2],
-                                       base.shape[0], k)
+        splits, db, tj = _pallas_zoom_plan(cfg, base.shape[-2],
+                                           base.shape[0], k,
+                                           ncols=base.shape[-1])
         f = lambda a, b: _psf_chunk_pallas(  # noqa: E731
-            base, dl, a, b, cfg, dir_block=db, row_splits=splits)
+            base, dl, a, b, cfg, dir_block=db, row_splits=splits,
+            tile_j=tj)
     else:
         f = jax.vmap(lambda a, b: one_lambda((a, b)))
     res = jax.lax.map(lambda args: f(*args),
