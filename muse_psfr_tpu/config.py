@@ -79,7 +79,13 @@ class GalacsiConfig:
                                # VMEM-fit chunk would drop 7 -> 5, a
                                # measured per-lambda wash, and db=9
                                # OOMs Mosaic even at k=2).  ndir=1
-                               # (npsflin=1) is unaffected.
+                               # (npsflin=1) is unaffected.  NOTE:
+                               # "auto" also REPAIRS the dim=2048
+                               # full-window 9-direction shape, whose
+                               # old single-launch layout fails to
+                               # compile (RESULTS.md) — 0/int restores
+                               # that layout and with it the crash
+                               # at that one shape.
 
     # --- telemetry validity limits (reference psfrec.py:30-31) ------------
     min_l0: float = 8.0        # minimum valid outer scale [m]
