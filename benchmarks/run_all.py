@@ -65,11 +65,21 @@ def main():
     rows.append(("full night, npsflin=3 (9 directions): 100 rows x 35 "
                  "lambda", 100, t))
 
+    # 3a'. extended 9-direction night: 1000 rows at the measured
+    # long-night chunk (88 = 2x44; 132+ fails to COMPILE on this
+    # deployment — the fused chunk program crashes the remote compile
+    # helper past ~100 rows/chunk, RESULTS.md)
+    seeing1k, GL1k, L01k, mask1k = build_rows(1000)
+    t, _ = timed(lambda: (process_batch(
+        seeing1k, GL1k, L01k, mask1k, lb35, npsflin=3, cfg=cfg,
+        chunk=88)))
+    rows.append(("extended 9-direction night: 1000 rows x 35 lambda "
+                 "(chunk=88)", 1000, t))
+
     # 3b. extended steady state: 1000 rows.  warm=True: the pipeline
     # executable is shared with config 3, but the batch size still owns
     # small one-time compiles (chunk-slice, fit concatenation) that a
     # steady-state figure must exclude.
-    seeing1k, GL1k, L01k, mask1k = build_rows(1000)
     t, _ = timed(lambda: (process_batch(
         seeing1k, GL1k, L01k, mask1k, lb35, cfg=cfg, chunk=100)))
     rows.append(("extended: 1000 rows x 35 lambda (steady state)", 1000, t))

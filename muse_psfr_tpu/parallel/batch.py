@@ -158,6 +158,26 @@ def _fit_vmapped(seeing, GL, L0, gs_mask, n_valid, lbda, h, wind_speed,
 
 from .mesh import default_mesh  # noqa: E402  (re-exported here for API)
 
+def _chunk_compile_hint(err, chunk):
+    """Re-raise a remote-compile failure with an actionable hint.
+
+    The fused per-chunk program's compiled size grows with the chunk,
+    and this deployment's remote compile helper crashes (opaque HTTP
+    500) past ~100 rows/chunk (measured: 100 compiles, 132/176 crash —
+    benchmarks/RESULTS.md).  Anything that does not look like that
+    failure is re-raised unchanged."""
+    msg = str(err)
+    if "remote_compile" in msg or "tpu_compile_helper" in msg:
+        raise RuntimeError(
+            f"chunk={chunk}: the fused chunk program failed to compile "
+            "on the remote TPU compile service.  Compiled program size "
+            "grows with the chunk size, and chunks past ~100 rows are "
+            "known to crash this deployment's compile helper "
+            "(benchmarks/RESULTS.md).  Retry with chunk <= 100."
+        ) from err
+    raise
+
+
 _FFT_OK = {}
 
 
@@ -533,8 +553,12 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                 # pipeline executable
                 t = jax.lax.dynamic_slice_in_dim(
                     table_d, jnp.asarray(lo, jnp.int32), chunk, axis=0)
-                res, guard = _reconstruct_chunk(t, lbda, h_t, wind_speed,
-                                                npsflin, gcfg)
+                try:
+                    res, guard = _reconstruct_chunk(t, lbda, h_t,
+                                                    wind_speed, npsflin,
+                                                    gcfg)
+                except Exception as err:  # noqa: BLE001
+                    _chunk_compile_hint(err, chunk)
                 yield gidx[lo:lo + chunk], res, guard
             continue
 
@@ -836,9 +860,12 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
             for i in range(n_chunks):
                 t = jax.lax.dynamic_slice_in_dim(
                     table_d, meta_d[0, i], sizes[i], axis=0)
-                fit, psum, guard = _fit_chunk(
-                    t, meta_d[1, i], lbda_j, h_t, wind_speed, npsflin,
-                    gcfg, fit_dtype)
+                try:
+                    fit, psum, guard = _fit_chunk(
+                        t, meta_d[1, i], lbda_j, h_t, wind_speed,
+                        npsflin, gcfg, fit_dtype)
+                except Exception as err:  # noqa: BLE001
+                    _chunk_compile_hint(err, sizes[i])
                 n = int(nvals[i])
                 fits.append(fit[:n])
                 idxs.append(gidx[int(offs[i]):int(offs[i]) + n])
@@ -855,9 +882,13 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                 NamedSharding(sharding.mesh, P(None, "rows")))
             for i in range(n_chunks):
                 t = jax.device_put(table_d[i], sharding)
-                fit, psum, guard = _fit_vmapped(
-                    t[:, 0], t[:, 1], t[:, 2], t[:, 3:7], meta_d[1, i],
-                    lbda_j, h_t, wind_speed, npsflin, gcfg, fit_dtype)
+                try:
+                    fit, psum, guard = _fit_vmapped(
+                        t[:, 0], t[:, 1], t[:, 2], t[:, 3:7],
+                        meta_d[1, i], lbda_j, h_t, wind_speed, npsflin,
+                        gcfg, fit_dtype)
+                except Exception as err:  # noqa: BLE001
+                    _chunk_compile_hint(err, chunk_n)
                 n = int(nvals[i])
                 fits.append(fit[:n])
                 idxs.append(gidx[int(offs[i]):int(offs[i]) + n])

@@ -152,3 +152,25 @@ def test_plot_directions_smoke():
     labels = [t.get_text() for t in ax.get_legend().get_texts()]
     assert any("LGS" in t for t in labels)
     assert any("direction" in t.lower() for t in labels)
+
+
+def test_chunk_compile_hint():
+    """Remote-compile helper crashes re-raise with the chunk-size hint;
+    unrelated errors pass through unchanged."""
+    import pytest
+    from muse_psfr_tpu.parallel.batch import _chunk_compile_hint
+
+    for marker in ("remote_compile", "tpu_compile_helper"):
+        err = RuntimeError(f"INTERNAL: http://x/{marker}: HTTP 500")
+        try:
+            raise err
+        except RuntimeError as caught:
+            with pytest.raises(RuntimeError, match="chunk <= 100"):
+                _chunk_compile_hint(caught, 132)
+
+    other = ValueError("unrelated")
+    try:
+        raise other
+    except ValueError as caught:
+        with pytest.raises(ValueError, match="unrelated"):
+            _chunk_compile_hint(caught, 50)
