@@ -103,13 +103,15 @@ def main():
                  32 * 32, t))
 
     # 5a. 3-axis sweep actually varying L0 (16x16x8 = 2048 points),
-    # including two L0 values below cfg.dphi_split_l0_min (5 m): those
+    # including one L0 value below cfg.dphi_split_l0_min (2.5 m): those
     # grid points run the exact structure-function transform bucket (the
     # certified Taylor split is out of its domain), so this row
-    # exercises all three executables the sweep planner can emit
+    # exercises all three executables the sweep planner can emit.  The
+    # 3.5/4.5 points moved onto the split path when the default
+    # certification range was extended to L0 >= 2.5 (degree 5).
     sv16 = np.linspace(0.6, 1.6, 16)
     gv16 = np.linspace(0.3, 0.9, 16)
-    lv8 = np.array([3.5, 4.5, 8.0, 11.0, 14.0, 18.0, 23.0, 29.0])
+    lv8 = np.array([2.0, 4.5, 8.0, 11.0, 14.0, 18.0, 23.0, 29.0])
     t, _ = timed(lambda: condition_sweep(sv16, gv16, lv8, lbda=lb35,
                                          cfg=cfg, chunk=64))
     rows.append(("condition sweep 16x16x8 (seeing, GL, L0) x 35 lambda",

@@ -146,8 +146,15 @@ class GalacsiConfig:
                                # The batch layer falls back to the exact
                                # full transform when any row's L0 is below
                                # dphi_split_l0_min.
-    dphi_split_degree: int = 3
-    dphi_split_l0_min: float = 5.0
+    dphi_split_degree: int = 5  # certified 8.9e-9 relative at l0_min=2.5
+                               # (fc=1.5); two extra precomputed basis
+                               # planes per row (~negligible next to the
+                               # zoom stage).  Raised from 3/5.0 so
+                               # synthetic low-L0 sweep points (the valid
+                               # telemetry range is L0 in [8, 30]) stay on
+                               # the fast split path instead of spilling
+                               # into the exact-transform executable.
+    dphi_split_l0_min: float = 2.5
     use_sym_fold: bool = True  # point-symmetry fold of the OTF-side
                                # contractions: PSDs and the pupil
                                # autocorrelation are transforms of real

@@ -49,8 +49,11 @@ def fitting_expansion_spec(l0_min: float, degree: int):
                                     * (f^2 + u0)^(-11/6 - k) + R
 
     whose remainder is controlled by ``x = (u - u0)/(f^2 + u0)``: since
-    ``f >= fc`` and ``u <= 1/l0_min^2``, ``|x|`` is tiny (~4e-3 at the
-    defaults) and a degree-3 expansion is exact to ~1e-9 relative.  This
+    ``f >= fc`` and ``u <= 1/l0_min^2``, ``|x|`` is small (~3.4e-2 at the
+    defaults l0_min=2.5, fc=1.5) and the default degree-5 expansion is
+    exact to ~9e-9 relative (degree 3 at the former l0_min=5 was ~2e-8;
+    the range was widened so synthetic low-L0 sweeps stay off the exact
+    per-row transform — valid telemetry is L0 in [8, 30] anyway).  This
     is what lets the structure-function transform of the fitting PSD be
     precomputed once per configuration instead of per telemetry row
     (reference psfrec.py:144 + 716-722 recompute it per row per lambda).

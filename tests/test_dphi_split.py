@@ -38,7 +38,10 @@ def test_split_matches_exact(dtype, tol_rel, npsflin):
     cfg = TINY_CONFIG.with_(dtype=dtype)
     ws = effective_wind_speed(H, cfg)
     cases = [(1.0, 0.7, 25.0, 1.0), (1.3, 0.45, 9.0, 0.0),
-             (0.7, 0.9, 29.5, 1.0), (2.0, 0.05, 5.05, 1.0)]
+             (0.7, 0.9, 29.5, 1.0), (2.0, 0.05, 5.05, 1.0),
+             # newly-certified low-L0 range (degree 5, l0_min 2.5):
+             # synthetic sweep points below the old 5 m cutoff
+             (0.9, 0.6, 3.0, 1.0), (1.1, 0.4, 2.6, 1.0)]
     for s, g, l, m4 in cases:
         mask = jnp.array([1.0, 1.0, 1.0, m4], cfg.dtype)
         exact = dphi_base(
@@ -61,7 +64,7 @@ def test_batch_l0_fallback_matches():
     cfg = TINY_CONFIG
     lbda = np.array([700.0, 900.0])
     see, gl = np.array([1.0, 1.2]), np.array([0.7, 0.5])
-    l0_low = np.array([25.0, 3.0])         # one row below dphi_split_l0_min
+    l0_low = np.array([25.0, 2.0])         # one row below dphi_split_l0_min
     mask = np.ones((2, 4))
     with_gate = reconstruct_batch(see, gl, l0_low, mask, lbda, cfg=cfg)
     exact = reconstruct_batch(see, gl, l0_low, mask, lbda,
