@@ -79,7 +79,15 @@ class GalacsiConfig:
                                # VMEM-fit chunk would drop 7 -> 5, a
                                # measured per-lambda wash, and db=9
                                # OOMs Mosaic even at k=2).  ndir=1
-                               # (npsflin=1) is unaffected.  NOTE:
+                               # (npsflin=1): "auto" uses the
+                               # scratch-free immediate-contraction
+                               # body (bit-identical; the freed
+                               # scratch VMEM lets the FULL window run
+                               # the big wavelength chunk of 12 — 8.44
+                               # -> 7.83 us/lambda incl. the padding
+                               # lambda, measure_ndir1_body.py); an
+                               # explicit int/0 pins the legacy
+                               # scratch body + chunk 7.  NOTE:
                                # "auto" also REPAIRS the dim=2048
                                # full-window 9-direction shape, whose
                                # old single-launch layout fails to

@@ -375,10 +375,12 @@ def fused_exp_zoom_disc(dphi, dl, a2, alpha, w, block_mask,
 
 
 @partial(jax.jit, static_argnames=("tile_j", "precision", "exp2",
-                                   "dir_block", "row_splits", "interpret"))
+                                   "dir_block", "row_splits",
+                                   "ndir1_scratch", "interpret"))
 def fused_exp_zoom(dphi, dl, a2, alpha, w, tile_j: int = 128,
                    precision: str = "highest", exp2: bool = False,
                    dir_block: int = 1, row_splits: int = 1,
+                   ndir1_scratch: bool = False,
                    interpret: bool = False):
     """U[l] = A2[l] @ (sum_d exp(alpha[l]*Dphi[d]) * w[l,d] * dl).
 
@@ -470,15 +472,23 @@ def fused_exp_zoom(dphi, dl, a2, alpha, w, tile_j: int = 128,
 
     nsteps = ndir // db
     grid = (ncols // tile_j, nsteps)
-    if db == 1:
-        kernel = partial(_kernel, precision=precision, exp2=exp2)
-    elif nsteps > 1:
-        kernel = partial(_kernel_dirblock, precision=precision, exp2=exp2,
-                         db=db)
-    else:
+    if nsteps == 1 and not (ndir1_scratch and ndir == 1):
+        # db == ndir covers ndir == 1 too: a single direction needs no
+        # accumulation at all, so the scratch-free immediate-contraction
+        # body applies verbatim (bit-identical math) and the
+        # (nl, n, tile_j) VMEM scratch round trip the original body paid
+        # per launch disappears (benchmarks/measure_ndir1_body.py);
+        # ``ndir1_scratch=True`` (an explicit integer
+        # ``cfg.pallas_dir_block`` — see otf/psf.py) keeps the legacy
+        # body for A/B measurements.
         kernel = partial(_kernel_dirfull, precision=precision, exp2=exp2,
                          ndir=ndir)
-    scratch = ([] if (db > 1 and nsteps == 1)
+    elif db == 1:
+        kernel = partial(_kernel, precision=precision, exp2=exp2)
+    else:
+        kernel = partial(_kernel_dirblock, precision=precision, exp2=exp2,
+                         db=db)
+    scratch = ([] if (nsteps == 1 and not (ndir1_scratch and ndir == 1))
                else [pltpu.VMEM((nl, n, tile_j), jnp.float32)])
     return pl.pallas_call(
         kernel,

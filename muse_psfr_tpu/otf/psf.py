@@ -463,7 +463,8 @@ def _combine_bilinear(p, t, nout: int):
 
 
 def _pallas_lambda_chunk(cfg: GalacsiConfig, nrows: int,
-                         anchor: bool = False) -> int:
+                         anchor: bool = False,
+                         ndir1_free: bool = False) -> int:
     """Largest wavelength-chunk size whose fused-kernel VMEM budget
     fits: the a2 block, the accumulation scratch, and the double-
     buffered dphi/dl/u pipeline blocks (~16 MB/core on TPU).  The
@@ -483,6 +484,18 @@ def _pallas_lambda_chunk(cfg: GalacsiConfig, nrows: int,
     2026-08), i.e. ~0.8M of unmodelled overhead on top of this
     formula's blocks."""
     m2, tj = 4 * cfg.dimpsf, 128
+    if ndir1_free and not anchor:
+        # scratch-free single-direction body (_kernel_dirfull at
+        # ndir=1): no accumulation scratch and no per-wavelength
+        # scratch term — only the resident a2 block, the
+        # double-buffered u output, and the dphi/dl pipeline blocks.
+        # Calibrated against a measured compile: the dim=1280
+        # full-window shape (nrows=1280) fits chunk 12 (~14.4 MB;
+        # benchmarks/measure_ndir1_body.py) where the scratch body
+        # OOMed Mosaic — this model admits exactly 12 there.
+        per_k = 4 * (m2 * nrows + 2 * m2 * tj)
+        fixed = 4 * 2 * 2 * nrows * tj              # dphi + dl blocks
+        return max(0, (15_000_000 - fixed) // per_k)
     per_k = 4 * (m2 * nrows + nrows * tj + 2 * 2 * m2 * tj)
     fixed = 4 * 2 * 2 * nrows * tj                  # dphi + dl blocks
     budget = 15_800_000  # calibrated: the known-fitting production
@@ -557,6 +570,10 @@ def _pallas_zoom_plan(cfg: GalacsiConfig, nrows: int, ndir: int,
     ``tile_j`` plumbing stays for experiments (RESULTS.md)."""
     db = _pallas_dir_block(cfg, nrows, ndir, k)
     if (db == ndir or ndir == 1 or cfg.pallas_dir_block != "auto"):
+        # ndir == 1 never splits or blocks, but under "auto" it still
+        # runs the scratch-free body and the bigger wavelength chunk —
+        # see _psf_chunk_pallas (ndir1_scratch) and _pallas_lambda_chunk
+        # (ndir1_free)
         return 1, db, 128
     m2, tj = 4 * cfg.dimpsf, 128
     for splits in (2, 4):
@@ -775,7 +792,16 @@ def _psf_chunk_pallas(base, dl, lb_k, npix_k, cfg, dir_block=1,
                                alpha, w, tile_j=tile_j,
                                precision=cfg.zoom_precision,
                                exp2=cfg.zoom_exp2, dir_block=dir_block,
-                               row_splits=row_splits, interpret=interpret)
+                               row_splits=row_splits,
+                               # "auto" gives ndir=1 launches the
+                               # scratch-free immediate-contraction body;
+                               # an explicit integer pallas_dir_block pins
+                               # the legacy scratch layout (the A/B knob,
+                               # as for the ndir=9 direction block)
+                               ndir1_scratch=(
+                                   ndir == 1
+                                   and cfg.pallas_dir_block != "auto"),
+                               interpret=interpret)
     m = 2 * nout
     mm = _mm(cfg)
     if win is not None:
@@ -974,8 +1000,15 @@ def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig):
     nl = lbda_nm.shape[0]
     k = max(1, min(cfg.lambda_chunk, nl))
     if pallas_ok:
-        k_fit = _pallas_lambda_chunk(cfg, base.shape[-2],
-                                     anchor=(cfg.zoom_anchor == "on"))
+        k_fit = _pallas_lambda_chunk(
+            cfg, base.shape[-2], anchor=(cfg.zoom_anchor == "on"),
+            # the scratch-free ndir=1 body frees the per-wavelength
+            # scratch VMEM: the dim=1280 FULL-window bucket then fits
+            # the big chunk of 12 (3 launches per 35-lambda cube
+            # instead of 5; measured 8.44 -> 7.83 us/lambda incl. the
+            # padding wavelength — measure_ndir1_body.py)
+            ndir1_free=(base.shape[0] == 1
+                        and cfg.pallas_dir_block == "auto"))
         if k_fit < 1:
             pallas_ok = False       # cannot fit even one wavelength
         else:

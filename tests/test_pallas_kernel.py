@@ -529,6 +529,78 @@ def test_pallas_zoom_plan():
                              768) == (1, 1, 128)
 
 
+def test_fused_exp_zoom_ndir1_body_bit_identical():
+    """At ndir=1 the scratch-free immediate-contraction body
+    (_kernel_dirfull) replaces the legacy scratch body — SAME ops in
+    the same order, so the outputs must be bit-identical (the
+    ``ndir1_scratch=True`` escape keeps the legacy layout for A/B
+    measurements, cfg.pallas_dir_block != 'auto')."""
+    n, ncols, nl, m2 = 256, 128, 3, 16
+    rng = np.random.default_rng(3)
+    dphi = rng.uniform(0, 40, (1, n, ncols)).astype(np.float32)
+    dl = rng.uniform(0, 1, (n, ncols)).astype(np.float32)
+    a2 = (rng.standard_normal((nl, m2, n)) / n).astype(np.float32)
+    alpha = rng.uniform(-0.3, -0.1, nl).astype(np.float32)
+    w = rng.uniform(0.5, 1.5, (nl, 1)).astype(np.float32)
+    for exp2 in (False, True):
+        legacy = zoom_dft.fused_exp_zoom(
+            jnp.asarray(dphi), jnp.asarray(dl), jnp.asarray(a2), alpha, w,
+            precision="highest", exp2=exp2, ndir1_scratch=True,
+            interpret=True)
+        new = zoom_dft.fused_exp_zoom(
+            jnp.asarray(dphi), jnp.asarray(dl), jnp.asarray(a2), alpha, w,
+            precision="highest", exp2=exp2, interpret=True)
+        assert np.array_equal(np.asarray(new), np.asarray(legacy))
+
+
+def test_pallas_lambda_chunk_ndir1_free():
+    """Pinned scratch-free ndir=1 VMEM model (calibrated against a
+    measured Mosaic compile at the dim=1280 full window): the full
+    window fits the big chunk of 12 (3 launches per 35-lambda cube
+    instead of 5), the reduced bucket keeps its 12, dim=2048 full stays
+    VMEM-capped below 12 (policy falls back to lambda_chunk 7), and the
+    8192 too-big guard still reports 0."""
+    from muse_psfr_tpu.config import GalacsiConfig
+    from muse_psfr_tpu.otf.psf import (_pallas_chunk_policy,
+                                       _pallas_lambda_chunk)
+    cfg = GalacsiConfig()
+    assert _pallas_lambda_chunk(cfg, 1280, ndir1_free=True) == 12
+    assert _pallas_lambda_chunk(cfg, 640, ndir1_free=True) >= 12
+    k2 = _pallas_lambda_chunk(GalacsiConfig(dim=2048), 2048,
+                              ndir1_free=True)
+    assert 7 <= k2 < 12
+    assert _pallas_chunk_policy(GalacsiConfig(dim=2048), k2) == 7
+    assert _pallas_lambda_chunk(GalacsiConfig(dim=8192), 8192,
+                                ndir1_free=True) == 0
+    # anchor path keeps its own budget model
+    assert (_pallas_lambda_chunk(cfg, 1280, anchor=True, ndir1_free=True)
+            == _pallas_lambda_chunk(cfg, 1280, anchor=True))
+
+
+def test_psf_chunk_pallas_ndir1_scratch_matches_auto():
+    """The full chunk path at ndir=1 with the legacy scratch body
+    (explicit pallas_dir_block) must match the default scratch-free
+    path bit-for-bit."""
+    from muse_psfr_tpu.config import GalacsiConfig
+    from muse_psfr_tpu.otf.psf import (_psf_chunk_pallas,
+                                       lambda_crop_size, pupil_otf)
+    cfg = GalacsiConfig(dim=512, dim_pup=16, dimpsf=12)
+    r_lo, S = cfg.otf_window
+    rng = np.random.default_rng(5)
+    rr = np.hypot(np.add.outer(np.arange(2 * S) - S, np.zeros(S + 128)),
+                  np.add.outer(np.zeros(2 * S), np.arange(S + 128) - S))
+    base = (2e4 * (rr / S) ** 0.8
+            * (1.0 + 0.05 * rng.standard_normal((1, 2 * S, S + 128))))
+    base = jnp.asarray(base, cfg.dtype)
+    lb = jnp.asarray([700.0, 900.0], cfg.dtype)
+    npx = lambda_crop_size(lb, cfg)
+    dl = pupil_otf(cfg)
+    want = _psf_chunk_pallas(base, dl, lb, npx, cfg, interpret=True)
+    got = _psf_chunk_pallas(base, dl, lb, npx,
+                            cfg.with_(pallas_dir_block=1), interpret=True)
+    assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_psf_chunk_pallas_row_split_matches_plain():
     """The row-sliced launch sum must match the single launch to the
     one extra f32 contraction reassociation."""
