@@ -409,6 +409,13 @@ def fused_exp_zoom(dphi, dl, a2, alpha, w, tile_j: int = 128,
     otf/psf.py:_pallas_lambda_chunk.  Direction-sum reassociation only
     (~1 ulp; the terms are positive).
 
+    ``ndir1_scratch=True`` restores the legacy direction-accumulating
+    body for ``ndir == 1`` launches (which otherwise run the
+    scratch-free immediate-contraction body — bit-identical, one fewer
+    VMEM round trip per wavelength plane and ~4.6 MB less VMEM at the
+    production full window).  Only an A/B escape; wired from an
+    explicit integer ``cfg.pallas_dir_block`` in otf/psf.py.
+
     ``row_splits=R`` (requires ``dir_block == ndir``) adds a SEQUENTIAL
     row-slice grid dimension: step ``r`` computes rows
     ``[r*n/R, (r+1)*n/R)`` and accumulates each wavelength's partial
