@@ -577,6 +577,29 @@ def test_pallas_lambda_chunk_ndir1_free():
             == _pallas_lambda_chunk(cfg, 1280, anchor=True))
 
 
+def test_ndir1_full_window_chunk_policy():
+    """Pinned composition of the ndir=1 chunk policy: under
+    pallas_dir_block='auto' the dim=1280 FULL-window bucket runs the
+    big wavelength chunk (k_fit 12 -> policy 12, 3 launches per
+    35-lambda cube), while an explicit integer pallas_dir_block keeps
+    the legacy scratch model (k_fit 7 -> lambda_chunk 7, 5 launches)."""
+    from muse_psfr_tpu.config import GalacsiConfig
+    from muse_psfr_tpu.otf.psf import (_pallas_chunk_policy,
+                                       _pallas_lambda_chunk)
+    cfg = GalacsiConfig()
+
+    def k_for(cfg, nrows, ndir):
+        k_fit = _pallas_lambda_chunk(
+            cfg, nrows, ndir1_free=(ndir == 1
+                                    and cfg.pallas_dir_block == "auto"))
+        return min(_pallas_chunk_policy(cfg, k_fit), k_fit, 35)
+
+    assert k_for(cfg, 1280, 1) == 12                      # full window
+    assert k_for(cfg, 512, 1) == 12                       # reduced bucket
+    assert k_for(cfg.with_(pallas_dir_block=1), 1280, 1) == 7   # legacy
+    assert k_for(GalacsiConfig(dim=2048), 2048, 1) == 7   # VMEM-capped
+
+
 def test_psf_chunk_pallas_ndir1_scratch_matches_auto():
     """The full chunk path at ndir=1 with the legacy scratch body
     (explicit pallas_dir_block) must match the default scratch-free
