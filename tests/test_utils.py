@@ -67,6 +67,35 @@ def test_pull_packed_restores_shapes_and_values():
     assert out_c.shape == () and out_c == c
 
 
+def test_pull_packed_sync_knob_is_equivalent():
+    """MUSE_PSFR_NO_ASYNC_FINAL=1 (skip the copy_to_host_async pre-issue)
+    must be bit-identical to the default async path — the knob only
+    changes WHEN the D2H copy command is enqueued, never the bytes."""
+    import os
+
+    import jax.numpy as jnp
+    from muse_psfr_tpu.parallel.batch import pull_packed
+
+    rng = np.random.default_rng(1)
+    arrays = [rng.standard_normal((4, 6)).astype(np.float32),
+              rng.standard_normal((11,)).astype(np.float32)]
+    dev = [jnp.asarray(a) for a in arrays]
+    default = pull_packed(*dev)
+    old = os.environ.get("MUSE_PSFR_NO_ASYNC_FINAL")
+    os.environ["MUSE_PSFR_NO_ASYNC_FINAL"] = "1"
+    try:
+        sync = pull_packed(*dev)
+    finally:
+        if old is None:
+            os.environ.pop("MUSE_PSFR_NO_ASYNC_FINAL", None)
+        else:
+            os.environ["MUSE_PSFR_NO_ASYNC_FINAL"] = old
+    for d, s, a in zip(default, sync, arrays):
+        assert d.shape == s.shape == a.shape
+        assert np.array_equal(d, s)
+        assert_allclose(d, a)
+
+
 def test_moffat_fit_pathological_planes_flagged():
     """Degenerate planes (all-NaN telemetry, empty frames) must come back
     flagged as NaN — the Cholesky LM rejects non-SPD steps instead of
