@@ -616,6 +616,14 @@ def _image_header(data, primary, extra=None, name=""):
 def _column_tform(dtype, shape):
     key = (dtype.kind, dtype.itemsize)
     if dtype.kind == "S":
+        if shape:
+            # an (S<n>, (k,)) column needs TFORM '<n*k>A' plus a TDIM to
+            # round-trip the split, which this codec does not implement;
+            # writing '<n>A' here would silently corrupt the row layout
+            # (NAXIS1 disagrees with the TFORM sum).  No pipeline table
+            # has vector strings — fail loudly rather than corrupt.
+            raise TypeError("vector string columns (%r x %r) are not "
+                            "supported by this FITS codec" % (dtype, shape))
         return "%dA" % dtype.itemsize
     if key not in _KIND_TO_TFORM:
         raise TypeError("unsupported column dtype %r" % (dtype,))

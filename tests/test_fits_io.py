@@ -326,3 +326,25 @@ def test_overlong_comment_truncates_like_astropy():
     hdul = _roundtrip(HDUList([PrimaryHDU(header=h)]))
     assert hdul[0].header["EXPTIME"] == 3600
     assert hdul[0].header["ESO OBS X"] == 5
+
+
+def test_vector_string_column_rejected_loudly():
+    """A (S<n>, (k,)) column would need TFORM '<n*k>A' + TDIM to
+    round-trip; emitting '<n>A' would silently corrupt the row layout
+    (NAXIS1 vs the TFORM sum).  The codec must refuse, not corrupt."""
+    import io as _io
+
+    import pytest
+
+    data = np.zeros(2, dtype=[("name", "S4", (3,)), ("x", "f8")])
+    hdu = BinTableHDU(data=data, name="BAD")
+    with pytest.raises(TypeError, match="vector string"):
+        HDUList([PrimaryHDU(), hdu]).writeto(_io.BytesIO())
+    # scalar string columns still round-trip
+    ok = np.zeros(2, dtype=[("name", "S4"), ("x", "f8")])
+    ok["name"] = [b"ab", b"cdef"]
+    ok["x"] = [1.5, -2.0]
+    hdul = _roundtrip(HDUList([PrimaryHDU(), BinTableHDU(data=ok,
+                                                         name="OK")]))
+    assert_array_equal(hdul["OK"].data["name"], ok["name"])
+    assert_allclose(hdul["OK"].data["x"], ok["x"])
