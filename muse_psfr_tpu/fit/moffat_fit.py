@@ -25,7 +25,12 @@ import jax
 import jax.numpy as jnp
 
 N_PARAMS = 5
-LM_ITERS = 20  # converged by ~10 on MUSE-like planes; margin for edge
+# 20 is certified, not generous: stress planes (broad/low-beta/off-centre)
+# still move ~1e-2 at 14 iterations and ~1e-6 (= the fit-contract atol) at
+# 16, while 20 reproduces 40 bit-identically in f64 — ladder in
+# benchmarks/measure_lm_iters.py, guarded by
+# tests/test_oracle_parity.py::test_lm_iteration_count_certified.
+LM_ITERS = 20
                # cases.  Measured (v5e, realistic night + extreme-telemetry
                # corners): 14 iters drifts beta up to 1.5e-3 vs 20 — 15% of
                # the golden tolerance for ~10 ms/chunk; not worth it.

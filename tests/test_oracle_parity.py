@@ -102,3 +102,26 @@ def test_float32_worst_corner_accuracy():
         jnp.asarray(lb, jnp.float32), seeing, GL, L0, cfg), np.float64)
     rms = np.sqrt(np.mean((out - ref) ** 2))
     assert rms < 2e-6, f"worst-corner float32 rms {rms:.2e}"
+
+
+def test_lm_iteration_count_certified():
+    """LM_ITERS=20 is converged, and the margin is real.
+
+    Certification ladder in benchmarks/measure_lm_iters.py: on the
+    golden 35-lambda cube plus a 96-plane stress grid spanning the
+    realistic circular-Moffat range, 20 iterations reproduce the
+    40-iteration solution bit-identically in float64, while 14 still
+    moves parameters by ~1e-2 (and 16 sits at ~1.4e-6, the whole
+    fit-contract atol).  Guards against lowering LM_ITERS without
+    re-running the ladder — the saving would be ~2-3% of a night,
+    inside the chip's run-to-run spread.
+    """
+    from benchmarks.measure_lm_iters import stress_planes, fit_at
+    planes, yy, xx = stress_planes()
+    ref_p, _, ref_ok = fit_at(40, planes, yy, xx, jnp.float64)
+    p20, _, ok20 = fit_at(20, planes, yy, xx, jnp.float64)
+    p14, _, _ = fit_at(14, planes, yy, xx, jnp.float64)
+    assert ref_ok.all() and ok20.all()
+    assert np.abs(p20 - ref_p).max() < 1e-9
+    # the stress set must stay hard enough to justify the 20-iter margin
+    assert np.abs(p14 - ref_p).max() > 1e-3
