@@ -14,6 +14,7 @@ program; the batch axis is
 """
 
 import os
+import threading
 import time
 from functools import partial
 
@@ -176,6 +177,120 @@ def _chunk_compile_hint(err, chunk):
             "(benchmarks/RESULTS.md).  Retry with chunk <= 100."
         ) from err
     raise
+
+
+def _compile_concurrently(jobs):
+    """Run AOT compile thunks, threaded when there is more than one.
+
+    ``jobs`` is a list of ``(thunk, chunk_size)`` pairs; each thunk
+    lowers + compiles one pipeline executable.  The axon remote-compile
+    service executes concurrent requests concurrently (measured: six
+    mid-size programs compile in 9.5 s serially vs 2.8-3.5 s from six
+    threads), and XLA releases the GIL during compilation, so a night
+    that needs N executables (reduced-window bucket, full-window bucket,
+    tail sizes, exact-transform group) pays ~max instead of ~sum of the
+    multi-minute compiles.  Failures re-raise through
+    :func:`_chunk_compile_hint` with the offending chunk size.
+    """
+    if len(jobs) == 1:
+        thunk, size = jobs[0]
+        try:
+            thunk()
+        except Exception as err:  # noqa: BLE001
+            _chunk_compile_hint(err, size)
+        return
+    errs = []
+
+    def _run(thunk, size):
+        try:
+            thunk()
+        except Exception as err:  # noqa: BLE001
+            errs.append((err, size))
+
+    threads = [threading.Thread(target=_run, args=job, daemon=True)
+               for job in jobs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        _chunk_compile_hint(*errs[0])
+
+
+_WARM_MEMO = set()
+
+
+def _warm_programs(specs, kind, lbda_j, h_t, wind_speed, npsflin,
+                   fit_dtype=None, mean_spec=None):
+    """Compile the chunk executables a night will dispatch, in parallel.
+
+    ``specs`` maps ``(gcfg, chunk_size)`` — one entry per distinct
+    executable the bucketed dispatch loop will need (each support-bucket
+    group at its main chunk size plus any tail size) — to a real
+    ``(chunk_size, 7)`` telemetry slice of that group.  Without this, the
+    executables compile serially at their first dispatch: bucket A's
+    multi-minute remote compile fully precedes bucket B's, and a
+    reduced-window bucket's tail program compiles mid-night at the last
+    chunk.
+
+    Warming CALLS the jitted chunk function with the group's real leading
+    rows: the only path guaranteed to land in the dispatch loop's call
+    cache — AOT ``lower().compile()`` does NOT populate it in this JAX
+    version (measured: the call after an AOT compile re-traces and
+    re-compiles; pinned by
+    ``tests/test_parallel.py::test_warm_populates_jit_cache``).  The
+    discarded execution costs one chunk of device time per executable per
+    process — negligible against the multi-minute compiles being
+    parallelised.  Skipped when fewer than two executables are cold
+    (nothing to parallelise: the loop compiles a single cold program at
+    first dispatch exactly as before, with no duplicated execution).
+    Memoised per process; disable with ``MUSE_PSFR_NO_WARM=1``.
+    """
+    if os.environ.get("MUSE_PSFR_NO_WARM"):
+        return
+    jobs = []
+    for (gcfg, size), tab in sorted(specs.items(),
+                                    key=lambda kv: -kv[0][1]):
+        key = (kind, gcfg, size, lbda_j.shape, str(lbda_j.dtype), h_t,
+               wind_speed, npsflin, fit_dtype)
+        if key in _WARM_MEMO:
+            continue
+
+        def _thunk(gcfg=gcfg, size=size, tab=tab, key=key):
+            t = jnp.asarray(tab[:size], gcfg.dtype)
+            if kind == "fit":
+                _fit_chunk(t, jnp.asarray(np.int32(size)), lbda_j, h_t,
+                           wind_speed, npsflin, gcfg, fit_dtype)
+            else:
+                _reconstruct_chunk(t, lbda_j, h_t, wind_speed, npsflin,
+                                   gcfg)
+            _WARM_MEMO.add(key)
+
+        jobs.append((_thunk, size))
+    if mean_spec is not None:
+        # the standalone mean-PSF fit program (fit_moffat_cube_packed on
+        # the (nl, dimpsf, dimpsf) mean cube) otherwise compiles
+        # synchronously at mean_enqueue, after every chunk is dispatched
+        # — one more serial first-night compile
+        shape, dtype = mean_spec
+        mkey = ("mean", shape, str(dtype), fit_dtype)
+        if mkey not in _WARM_MEMO:
+
+            def _mean_thunk(shape=shape, dtype=dtype, mkey=mkey):
+                from ..fit.moffat_fit import fit_moffat_cube_packed
+                fit_moffat_cube_packed(jnp.zeros(shape, dtype),
+                                       dtype=fit_dtype)
+                _WARM_MEMO.add(mkey)
+
+            jobs.append((_mean_thunk, "mean-fit"))
+    if len(jobs) < 2:
+        return
+    t0 = time.perf_counter()
+    _compile_concurrently(jobs)
+    dt = time.perf_counter() - t0
+    if dt > 1.0:
+        logger.info("warmed %d chunk executables in %.1f s "
+                    "(concurrent compile)", len(jobs), dt)
 
 
 _FFT_OK = {}
@@ -529,6 +644,19 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                     chunk, mesh, force_full)
     mesh = None if sharding is None else sharding.mesh
 
+    if sharding is None and not force_full:
+        # one executable per bucket group here (no tails on this path);
+        # compile them concurrently before the first dispatch
+        specs = {}
+        for gcfg, gidx in groups:
+            gt = table[gidx]
+            if gt.shape[0] < chunk:
+                gt = np.concatenate(
+                    [gt, np.repeat(gt[-1:], chunk - gt.shape[0], axis=0)],
+                    axis=0)
+            specs.setdefault((gcfg, chunk), gt)
+        _warm_programs(specs, "recon", lbda, h_t, wind_speed, npsflin)
+
     for gcfg, gidx in groups:
         # ONE host->device push per bucket of its telemetry rows (the
         # tunneled link is latency-bound, so per-chunk per-column pushes
@@ -831,8 +959,7 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                 return t
         return chunk_n
 
-    count = 0
-    _t_disp = time.perf_counter()
+    plans = []
     for gcfg, gidx in groups:
         gb = gidx.shape[0]
         gt = table[gidx]
@@ -848,6 +975,26 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
         if n_pad:
             gt = np.concatenate([gt, np.repeat(gt[-1:], n_pad, axis=0)],
                                 axis=0)
+        plans.append((gcfg, gidx, gt, sizes, nvals, offs))
+
+    if sharding is None and not _force_full:
+        # compile every executable the dispatch loop will need,
+        # CONCURRENTLY, before the first dispatch (the redo path reuses
+        # the main night's full-window executable by construction and
+        # must never compile, so it skips the warm-up)
+        specs = {}
+        for gcfg, _, gt, sizes, _, _ in plans:
+            for s in sizes:
+                specs.setdefault((gcfg, s), gt)
+        with stage_timer("batch.warm"):
+            _warm_programs(
+                specs, "fit", lbda_j, h_t, wind_speed, npsflin, fit_dtype,
+                mean_spec=((lbda_j.shape[0], cfg_r.dimpsf, cfg_r.dimpsf),
+                           cfg_r.dtype))
+
+    count = 0
+    _t_disp = time.perf_counter()
+    for gcfg, gidx, gt, sizes, nvals, offs in plans:
         n_chunks = len(sizes)
         # everything the per-chunk loop needs lives on device up front —
         # the loop then issues only async device ops (no H2D transfers,

@@ -262,3 +262,134 @@ def test_tail_chunk_matches_padded_dispatch(monkeypatch):
         assert_allclose(fit_t, fit_p, atol=1e-12)
         assert_allclose(mean_t, mean_p, atol=1e-12)
         assert_allclose(fitm_t, fitm_p, atol=1e-12)
+
+
+def test_warm_populates_jit_cache():
+    """The warm-up must land in the SAME cache the dispatch loop's call
+    path hits — otherwise the night would silently compile everything
+    twice.  (This is why warming CALLS the jitted function: an AOT
+    ``lower().compile()`` does NOT populate the call cache in this JAX
+    version — re-timing showed the call after an AOT compile re-traces
+    and re-compiles.)  Pin it: after warming two sizes, real calls with
+    matching avals must not grow the cache."""
+    import jax.numpy as jnp
+    from muse_psfr_tpu.parallel.batch import (_warm_programs, _fit_chunk,
+                                              _plan_batch)
+
+    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
+    lbda = np.linspace(600, 900, 3)
+    cfg_r, groups, chunk_n, table, lbda_j, h_t, wind_speed, _ = _plan_batch(
+        np.array([1.0, 1.1]), np.array([0.7, 0.6]), np.array([25.0, 20.0]),
+        np.ones((2, 4)), lbda, (100, 10000), 1, cfg, 2, None, False)
+    assert len(groups) == 1
+    gcfg = groups[0][0]
+
+    _warm_programs({(gcfg, 2): table, (gcfg, 1): table}, "fit",
+                   lbda_j, h_t, wind_speed, 1, "float64")
+    n0 = _fit_chunk._cache_size()
+    assert n0 >= 2
+    for size in (2, 1):
+        t = jnp.asarray(table[:size], gcfg.dtype)
+        fit, psum, guard = _fit_chunk(t, jnp.asarray(np.int32(size)),
+                                      lbda_j, h_t, wind_speed, 1, gcfg,
+                                      "float64")
+        assert np.isfinite(np.asarray(fit)).all()
+    assert _fit_chunk._cache_size() == n0, \
+        "dispatch after warm-up recompiled: cache key mismatch"
+
+
+def test_warm_memo_prevents_recompiles(monkeypatch):
+    """A second night with the same executables must not re-lower."""
+    from muse_psfr_tpu.parallel import batch as B
+
+    calls = []
+    orig = B._compile_concurrently
+    monkeypatch.setattr(B, "_compile_concurrently",
+                        lambda jobs: (calls.append(len(jobs)), orig(jobs)))
+
+    # otf_support picks a fixed reduced window: the 5-row night at
+    # chunk=4 then dispatches a main (4, 7) chunk plus a (1, 7) tail —
+    # two executables, so the warm-up engages
+    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64",
+                            otf_support=128)
+    # 4 wavelengths: a lambda-grid shape no other test uses, so the
+    # process-level warm memo is guaranteed cold for this test's keys
+    lbda = np.linspace(600, 900, 4)
+    rng = np.random.default_rng(3)
+    Bn = 5
+    seeing = rng.uniform(0.6, 1.4, Bn)
+    GL = rng.uniform(0.3, 0.9, Bn)
+    L0 = rng.uniform(10, 28, Bn)
+    mask = np.ones((Bn, 4))
+
+    from muse_psfr_tpu.parallel.batch import process_batch
+    fit1, mean1, fitm1 = process_batch(seeing, GL, L0, mask, lbda,
+                                       cfg=cfg, chunk=4)
+    first = list(calls)
+    assert first and first[0] >= 2
+    fit2, mean2, fitm2 = process_batch(seeing, GL, L0, mask, lbda,
+                                       cfg=cfg, chunk=4)
+    # the second identical night warms nothing new
+    assert list(calls) == first
+    assert_allclose(fit1, fit2, atol=0)
+
+    # the warm-up also pre-compiled the standalone mean-fit program:
+    # a call at the production aval must not grow its cache
+    import jax.numpy as jnp
+    from muse_psfr_tpu.fit.moffat_fit import fit_moffat_cube_packed
+    n_mean = fit_moffat_cube_packed._cache_size()
+    fit_moffat_cube_packed(jnp.asarray(mean1), dtype="float64")
+    assert fit_moffat_cube_packed._cache_size() == n_mean
+
+    # equivalence with the warm-up disabled (fresh keys would recompile
+    # lazily in the loop; values must be identical either way)
+    monkeypatch.setenv("MUSE_PSFR_NO_WARM", "1")
+    fit3, mean3, fitm3 = process_batch(seeing, GL, L0, mask, lbda,
+                                       cfg=cfg, chunk=4)
+    assert_allclose(fit1, fit3, atol=0)
+    assert_allclose(mean1, mean3, atol=0)
+    assert_allclose(fitm1, fitm3, atol=0)
+
+
+def test_warm_covers_every_dispatched_executable(monkeypatch):
+    """On a night with an exact-transform group, two buckets, and a tail
+    chunk, the warm-up must pre-compile every (cfg, size) the dispatch
+    loop uses — pinned by intercepting the warm specs and the real
+    dispatch sizes."""
+    from muse_psfr_tpu.parallel import batch as B
+
+    specs_seen = []
+    orig_warm = B._warm_programs
+
+    def spy(specs, kind, *a, **k):
+        specs_seen.extend(specs)
+        return orig_warm(specs, kind, *a, **k)
+
+    monkeypatch.setattr(B, "_warm_programs", spy)
+
+    orig_fit = B._fit_chunk
+    dispatched = []
+
+    def spy_fit(t, *a, **k):
+        dispatched.append(t.shape[0])
+        return orig_fit(t, *a, **k)
+
+    monkeypatch.setattr(B, "_fit_chunk", spy_fit)
+
+    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64",
+                            otf_support=128)
+    lbda = np.linspace(600, 900, 3)
+    rng = np.random.default_rng(11)
+    Bn = 7
+    seeing = rng.uniform(0.6, 1.4, Bn)
+    GL = rng.uniform(0.3, 0.9, Bn)
+    L0 = rng.uniform(10, 28, Bn)
+    L0[0] = 1.5          # below dphi_split_l0_min -> exact-transform group
+    mask = np.ones((Bn, 4))
+
+    fit, _, _ = B.process_batch(seeing, GL, L0, mask, lbda, cfg=cfg,
+                                chunk=4)
+    assert np.isfinite(fit).all()
+    warmed_sizes = {s for _, s in specs_seen}
+    assert warmed_sizes.issuperset(set(dispatched)), \
+        (warmed_sizes, dispatched)
