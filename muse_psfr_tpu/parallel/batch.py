@@ -176,7 +176,9 @@ def _chunk_compile_hint(err, chunk):
             "known to crash this deployment's compile helper "
             "(benchmarks/RESULTS.md).  Retry with chunk <= 100."
         ) from err
-    raise
+    # NOT a bare ``raise``: the threaded warm-up path calls this after
+    # joining its workers, outside any active ``except`` block
+    raise err
 
 
 def _compile_concurrently(jobs):

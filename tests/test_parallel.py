@@ -393,3 +393,37 @@ def test_warm_covers_every_dispatched_executable(monkeypatch):
     warmed_sizes = {s for _, s in specs_seen}
     assert warmed_sizes.issuperset(set(dispatched)), \
         (warmed_sizes, dispatched)
+
+
+def test_compile_concurrently_error_paths():
+    """Failures in warm-up compile threads must re-raise usefully: a
+    remote-compile-shaped error gets the actionable chunk hint, and any
+    other error re-raises AS ITSELF (the hint helper is called outside
+    an ``except`` block on the threaded path, so a bare ``raise`` there
+    would surface as 'No active exception to re-raise')."""
+    import pytest
+    from muse_psfr_tpu.parallel.batch import _compile_concurrently
+
+    def boom_remote():
+        raise RuntimeError("HTTP 500: tpu_compile_helper subprocess")
+
+    def boom_other():
+        raise ValueError("unrelated failure")
+
+    def ok():
+        pass
+
+    # threaded path (>= 2 jobs), remote-compile-shaped: hint with the
+    # failing job's chunk size
+    with pytest.raises(RuntimeError, match="chunk=77.*compile"):
+        _compile_concurrently([(boom_remote, 77), (ok, 50)])
+
+    # threaded path, arbitrary error: the ORIGINAL exception surfaces
+    with pytest.raises(ValueError, match="unrelated failure"):
+        _compile_concurrently([(boom_other, 77), (ok, 50)])
+
+    # single-job path takes the except-block route; same contracts
+    with pytest.raises(RuntimeError, match="chunk=33.*compile"):
+        _compile_concurrently([(boom_remote, 33)])
+    with pytest.raises(ValueError, match="unrelated failure"):
+        _compile_concurrently([(boom_other, 33)])
