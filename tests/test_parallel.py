@@ -427,3 +427,42 @@ def test_compile_concurrently_error_paths():
         _compile_concurrently([(boom_remote, 33)])
     with pytest.raises(ValueError, match="unrelated failure"):
         _compile_concurrently([(boom_other, 33)])
+
+
+def test_warm_populates_recon_jit_cache():
+    """Recon-path twin of test_warm_populates_jit_cache: the eager
+    dynamic-slice chunk the dispatch loop feeds `_reconstruct_chunk`
+    must hit the executable the warm-up compiled (same aval), or the
+    night silently compiles everything twice."""
+    import jax
+    import jax.numpy as jnp
+    from muse_psfr_tpu.parallel.batch import (_warm_programs,
+                                              _reconstruct_chunk,
+                                              _plan_batch)
+
+    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
+    # 5 wavelengths: a lambda grid unique to this test so the process
+    # warm memo and jit cache are cold for its keys
+    lbda = np.linspace(600, 900, 5)
+    cfg_r, groups, chunk_n, table, lbda_j, h_t, wind_speed, _ = _plan_batch(
+        np.array([1.0, 1.1, 0.9]), np.array([0.7, 0.6, 0.8]),
+        np.array([25.0, 20.0, 15.0]), np.ones((3, 4)), lbda,
+        (100, 10000), 1, cfg, 3, None, False)
+    assert len(groups) == 1
+    gcfg = groups[0][0]
+
+    _warm_programs({(gcfg, 3): table, (gcfg, 2): table}, "recon",
+                   lbda_j, h_t, wind_speed, 1)
+    n0 = _reconstruct_chunk._cache_size()
+    assert n0 >= 2
+    table_d = jnp.asarray(table, gcfg.dtype)
+    for size in (3, 2):
+        # the dispatch loop's exact operand construction: an eager
+        # traced-offset dynamic slice of the device-resident table
+        t = jax.lax.dynamic_slice_in_dim(
+            table_d, jnp.asarray(0, jnp.int32), size, axis=0)
+        res, guard = _reconstruct_chunk(t, lbda_j, h_t, wind_speed, 1,
+                                        gcfg)
+        assert np.isfinite(np.asarray(res)).all()
+    assert _reconstruct_chunk._cache_size() == n0, \
+        "recon dispatch after warm-up recompiled: cache key mismatch"
