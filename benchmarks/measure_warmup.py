@@ -47,7 +47,11 @@ def run_child(rows, chunk, no_warm):
     env = dict(os.environ)
     if no_warm:
         env["MUSE_PSFR_NO_WARM"] = "1"
+        env.pop("MUSE_PSFR_WARM", None)
     else:
+        # force-on: the default is OFF on the axon remote-compile tunnel
+        # (measured load-dependent; RESULTS.md warm-up note)
+        env["MUSE_PSFR_WARM"] = "1"
         env.pop("MUSE_PSFR_NO_WARM", None)
     t0 = time.perf_counter()
     out = subprocess.run(

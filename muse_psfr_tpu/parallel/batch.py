@@ -181,36 +181,91 @@ def _chunk_compile_hint(err, chunk):
     raise err
 
 
-def _compile_concurrently(jobs):
-    """Run AOT compile thunks, threaded when there is more than one.
+def _warm_enabled():
+    """Whether the concurrent warm-up engages (see `_warm_programs`).
+
+    Default: ON for local-compile backends (XLA compiles distinct
+    programs on separate cores; measured 3.4-3.5x for six mid-size
+    programs), OFF on the axon remote-compile tunnel, where paired
+    fresh-process A/Bs of the production pipeline measured BOTH
+    1.35-1.58x faster and 0.66-0.77x slower than lazy serial compiles
+    within one day (the service's handling of concurrent
+    production-size programs is load-dependent; full pair table in
+    benchmarks/RESULTS.md).  ``MUSE_PSFR_WARM=1`` forces on,
+    ``MUSE_PSFR_NO_WARM=1`` forces off.
+    """
+    if os.environ.get("MUSE_PSFR_NO_WARM"):
+        return False
+    if os.environ.get("MUSE_PSFR_WARM"):
+        return True
+    try:
+        pv = jax.devices()[0].client.platform_version
+    except Exception:  # noqa: BLE001 — unknown backend: keep the default
+        return True
+    return "axon" not in pv.lower()
+
+
+def _warm_concurrency():
+    """Concurrent compile width for the warm-up (default 2).
+
+    The compile path handles concurrent MID-SIZE requests ~3x faster
+    than serial (measured twice, different days), but flooding with
+    4-6 concurrent PRODUCTION-size pipeline programs can contend (see
+    :func:`_warm_enabled`).  Width 2 overlaps the night's two main
+    bucket compiles — most of the available win — with the least
+    pressure.  Override with ``MUSE_PSFR_WARM_CONCURRENCY`` (>= 1;
+    large = unbounded fan-out).
+    """
+    raw = os.environ.get("MUSE_PSFR_WARM_CONCURRENCY", "2")
+    try:
+        return max(1, int(raw))
+    except ValueError:
+        logger.warning("ignoring non-integer MUSE_PSFR_WARM_CONCURRENCY=%r",
+                       raw)
+        return 2
+
+
+def _compile_concurrently(jobs, width=None):
+    """Run AOT compile thunks, at most ``width`` at a time.
 
     ``jobs`` is a list of ``(thunk, chunk_size)`` pairs; each thunk
-    lowers + compiles one pipeline executable.  The axon remote-compile
-    service executes concurrent requests concurrently (measured: six
-    mid-size programs compile in 9.5 s serially vs 2.8-3.5 s from six
-    threads), and XLA releases the GIL during compilation, so a night
-    that needs N executables (reduced-window bucket, full-window bucket,
-    tail sizes, exact-transform group) pays ~max instead of ~sum of the
-    multi-minute compiles.  Failures re-raise through
-    :func:`_chunk_compile_hint` with the offending chunk size.
+    lowers + compiles one pipeline executable.  XLA releases the GIL
+    during compilation, so worker threads overlap the remote compiles
+    of a night's executables (reduced-window bucket, full-window
+    bucket, tail sizes, exact-transform group) — bounded by ``width``
+    (default :func:`_warm_concurrency`), because unbounded fan-out of
+    production-size programs measured slower than serial on a loaded
+    service.  Failures re-raise through :func:`_chunk_compile_hint`
+    with the offending chunk size.  Jobs run in the given order
+    (callers sort largest-first so the critical-path compile starts
+    immediately).
     """
-    if len(jobs) == 1:
-        thunk, size = jobs[0]
-        try:
-            thunk()
-        except Exception as err:  # noqa: BLE001
-            _chunk_compile_hint(err, size)
+    width = _warm_concurrency() if width is None else max(1, int(width))
+    if len(jobs) == 1 or width == 1:
+        for thunk, size in jobs:
+            try:
+                thunk()
+            except Exception as err:  # noqa: BLE001
+                _chunk_compile_hint(err, size)
         return
     errs = []
+    it = iter(list(jobs))
+    lock = threading.Lock()
 
-    def _run(thunk, size):
-        try:
-            thunk()
-        except Exception as err:  # noqa: BLE001
-            errs.append((err, size))
+    def _worker():
+        while True:
+            with lock:
+                job = next(it, None)
+            if job is None:
+                return
+            thunk, size = job
+            try:
+                thunk()
+            except Exception as err:  # noqa: BLE001
+                errs.append((err, size))
 
-    threads = [threading.Thread(target=_run, args=job, daemon=True)
-               for job in jobs]
+    threads = [threading.Thread(target=_worker, daemon=True)
+               for _ in range(min(width, len(jobs)))]
     for t in threads:
         t.start()
     for t in threads:
@@ -246,9 +301,11 @@ def _warm_programs(specs, kind, lbda_j, h_t, wind_speed, npsflin,
     parallelised.  Skipped when fewer than two executables are cold
     (nothing to parallelise: the loop compiles a single cold program at
     first dispatch exactly as before, with no duplicated execution).
-    Memoised per process; disable with ``MUSE_PSFR_NO_WARM=1``.
+    Memoised per process; engagement policy in :func:`_warm_enabled`
+    (default off on the axon remote-compile tunnel; ``MUSE_PSFR_WARM=1``
+    / ``MUSE_PSFR_NO_WARM=1`` force it either way).
     """
-    if os.environ.get("MUSE_PSFR_NO_WARM"):
+    if not _warm_enabled():
         return
     jobs = []
     for (gcfg, size), tab in sorted(specs.items(),

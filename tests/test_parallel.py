@@ -466,3 +466,48 @@ def test_warm_populates_recon_jit_cache():
         assert np.isfinite(np.asarray(res)).all()
     assert _reconstruct_chunk._cache_size() == n0, \
         "recon dispatch after warm-up recompiled: cache key mismatch"
+
+
+def test_warm_enabled_policy(monkeypatch):
+    """Engagement policy: env overrides beat the backend sniff; the
+    axon remote-compile tunnel defaults off, local backends on."""
+    from muse_psfr_tpu.parallel import batch as B
+
+    monkeypatch.delenv("MUSE_PSFR_WARM", raising=False)
+    monkeypatch.delenv("MUSE_PSFR_NO_WARM", raising=False)
+    # CPU test backend: local compiles -> default on
+    assert B._warm_enabled()
+
+    monkeypatch.setenv("MUSE_PSFR_NO_WARM", "1")
+    assert not B._warm_enabled()
+    # NO_WARM wins over WARM
+    monkeypatch.setenv("MUSE_PSFR_WARM", "1")
+    assert not B._warm_enabled()
+    monkeypatch.delenv("MUSE_PSFR_NO_WARM")
+    assert B._warm_enabled()
+
+    # axon sniff: platform_version carrying 'axon' -> default off,
+    # MUSE_PSFR_WARM=1 still forces on
+    class _C:
+        platform_version = "axon 0.1.0; SerializedExecutable v9"
+
+    class _D:
+        client = _C()
+
+    monkeypatch.delenv("MUSE_PSFR_WARM")
+    monkeypatch.setattr(B.jax, "devices", lambda: [_D()])
+    assert not B._warm_enabled()
+    monkeypatch.setenv("MUSE_PSFR_WARM", "1")
+    assert B._warm_enabled()
+
+
+def test_warm_concurrency_parse(monkeypatch):
+    from muse_psfr_tpu.parallel import batch as B
+    monkeypatch.delenv("MUSE_PSFR_WARM_CONCURRENCY", raising=False)
+    assert B._warm_concurrency() == 2
+    monkeypatch.setenv("MUSE_PSFR_WARM_CONCURRENCY", "5")
+    assert B._warm_concurrency() == 5
+    monkeypatch.setenv("MUSE_PSFR_WARM_CONCURRENCY", "0")
+    assert B._warm_concurrency() == 1          # clamped
+    monkeypatch.setenv("MUSE_PSFR_WARM_CONCURRENCY", "lots")
+    assert B._warm_concurrency() == 2          # warn + default
