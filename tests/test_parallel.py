@@ -511,3 +511,16 @@ def test_warm_concurrency_parse(monkeypatch):
     assert B._warm_concurrency() == 1          # clamped
     monkeypatch.setenv("MUSE_PSFR_WARM_CONCURRENCY", "lots")
     assert B._warm_concurrency() == 2          # warn + default
+
+
+def test_compile_concurrently_bounded_width(monkeypatch):
+    """Every job runs exactly once for any pool width (1 = serial path,
+    2 = bounded pool smaller than the job list)."""
+    from muse_psfr_tpu.parallel import batch as B
+
+    for width in ("1", "2"):
+        monkeypatch.setenv("MUSE_PSFR_WARM_CONCURRENCY", width)
+        ran = []
+        jobs = [(lambda i=i: ran.append(i), 10 + i) for i in range(5)]
+        B._compile_concurrently(jobs)
+        assert sorted(ran) == list(range(5)), (width, ran)
