@@ -232,13 +232,13 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
                                    packed_np.dtype)
             rows = todo[indices]
             buf["a"][rows] = packed_np
-            np.save(checkpoint, buf["a"])
-            # keep a sidecar on disk from the FIRST delivery: without
-            # one, a crash before any on_final would leave only the
-            # .npy, and the sidecar-less NaN-based resume fallback
-            # would trust these provisional values
+            # the sidecar must be on disk BEFORE the .npy ever is:
+            # a crash after a sidecar-less np.save would send resume
+            # down the NaN-based fallback, which trusts these
+            # provisional (guard-unvalidated) values
             with open(sidecar, "w") as fh:
                 json.dump({**meta, "done": sorted(buf["done"])}, fh)
+            np.save(checkpoint, buf["a"])
 
         def on_final(indices):  # noqa: F811
             # rows provably past the window guard (untripped chunks, or

@@ -221,6 +221,12 @@ class Header:
                 j -= 1
             segs.append(esc[i:j])
             i = j
+        # an empty value reaches here only via an overlong comment: the
+        # split loop never runs, but the keyword card must still be
+        # emitted (else the header starts with orphan CONTINUE cards and
+        # the key is silently lost on round-trip)
+        if not segs:
+            segs = [""]
         cards = []
         for n, seg in enumerate(segs):
             last = n == len(segs) - 1 and not comment

@@ -545,8 +545,7 @@ def _pallas_dir_block(cfg: GalacsiConfig, nrows: int, ndir: int,
     return 1
 
 
-def _pallas_zoom_plan(cfg: GalacsiConfig, nrows: int, ndir: int,
-                      k: int, ncols: int = 0):
+def _pallas_zoom_plan(cfg: GalacsiConfig, nrows: int, ndir: int, k: int):
     """(row_splits, dir_block, tile_j) for the fused zoom launch.
 
     When the scratch-free full direction block (``db == ndir``) does
@@ -1041,8 +1040,7 @@ def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig):
         # slices where that is what lets the full block fit (1.42x at
         # the full-window ndir=9 shape) — _pallas_zoom_plan
         splits, db, tj = _pallas_zoom_plan(cfg, base.shape[-2],
-                                           base.shape[0], k,
-                                           ncols=base.shape[-1])
+                                           base.shape[0], k)
         f = lambda a, b: _psf_chunk_pallas(  # noqa: E731
             base, dl, a, b, cfg, dir_block=db, row_splits=splits,
             tile_j=tj)

@@ -169,12 +169,24 @@ def _chunk_compile_hint(err, chunk):
     failure is re-raised unchanged."""
     msg = str(err)
     if "remote_compile" in msg or "tpu_compile_helper" in msg:
+        if isinstance(chunk, int) and chunk > 100:
+            raise RuntimeError(
+                f"chunk={chunk}: the fused chunk program failed to compile "
+                "on the remote TPU compile service.  Compiled program size "
+                "grows with the chunk size, and chunks past ~100 rows are "
+                "known to crash this deployment's compile helper "
+                "(benchmarks/RESULTS.md).  Retry with chunk <= 100."
+            ) from err
+        # a chunk already in the known-good range: the size is NOT the
+        # known cause — don't advise shrinking it; surface which program
+        # failed and leave the service error visible
         raise RuntimeError(
             f"chunk={chunk}: the fused chunk program failed to compile "
-            "on the remote TPU compile service.  Compiled program size "
-            "grows with the chunk size, and chunks past ~100 rows are "
-            "known to crash this deployment's compile helper "
-            "(benchmarks/RESULTS.md).  Retry with chunk <= 100."
+            "on the remote TPU compile service.  This chunk size is "
+            "within the known-good range (<= 100 rows), so the failure "
+            "is likely transient service trouble or an oversized "
+            "program at this configuration (e.g. dim=2048 grids); "
+            "retrying, or reducing cfg.dim / the chunk, may help."
         ) from err
     # NOT a bare ``raise``: the threaded warm-up path calls this after
     # joining its workers, outside any active ``except`` block
@@ -893,9 +905,12 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     does exactly this).
 
     ``on_final(row_indices)`` is called when rows' values become FINAL
-    — i.e. provably not subject to a window-guard redo: once for all
-    rows of untripped chunks (after the guard vector is pulled) and
-    once more for the redone rows (after their corrected values are
+    — i.e. provably not subject to a window-guard redo: right after
+    delivery for chunks of guard-free groups (full-window and
+    exact-transform groups compute a structurally +inf guard, so a
+    mid-night crash resumes past them), once for all rows of untripped
+    reduced-window chunks (after the guard vector is pulled), and once
+    more for the redone rows (after their corrected values are
     delivered).  An ``on_chunk`` delivery alone is provisional: the
     guard is only known at the night's final pull, so a durable sink
     that marks rows complete at ``on_chunk`` time can persist
@@ -921,6 +936,7 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                         chunk, mesh, _force_full)
 
     fits, idxs, psums, guards = [], [], [], []
+    gfree = []             # per chunk: guard structurally +inf (no window)
     parts = []             # device concats already copying to the host
     part_start = 0         # fits index where the unpulled remainder begins
     # pull-tail overlap: every `part_n` chunks the accumulated packed
@@ -951,7 +967,10 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     # stride logic; ignored on the redo path.
     cut_at = None
     env_cuts = os.environ.get("MUSE_PSFR_PULL_AT")
-    if env_cuts and part_n != 0:
+    if env_cuts and not _return_parts:
+        # parsed regardless of part_n so the documented override of
+        # BOTH other knobs holds on short (<4-chunk) and
+        # MUSE_PSFR_NO_OVERLAP nights too, where part_n is 0
         try:
             cut_at = {int(x) for x in env_cuts.split(",") if x.strip()}
         except ValueError:
@@ -1009,9 +1028,10 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
 
     def _tail_size(rem):
         # quarter, half, three-quarter sizes: the 3c/4 step matters for
-        # device-bound buckets (e.g. the 9-direction night's 43
-        # full-window rows at chunk=25 -> 25 + tail 18 instead of
-        # 25 + 25 with 7 padded rows of ~4.5 ms each)
+        # device-bound reduced-window buckets (e.g. 68 windowed rows at
+        # chunk=25 -> 25 + 25 + tail 18 instead of three full chunks
+        # with 7 padded rows of real device work; full-window groups
+        # never reach here — they always pad, see the policy above)
         for num, den in ((1, 4), (1, 2), (3, 4)):
             t = max(1, chunk_n * num // den)
             if t >= rem:
@@ -1077,9 +1097,16 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                 idxs.append(gidx[int(offs[i]):int(offs[i]) + n])
                 psums.append(psum)
                 guards.append(guard)
+                gfree.append(not gcfg.otf_support)
                 _maybe_part()
                 if on_chunk is not None:
                     on_chunk(idxs[-1], np.asarray(fits[-1]))
+                if on_final is not None and gfree[-1]:
+                    # no window => the guard is +inf by construction and
+                    # the rows can never be redone: final at delivery.
+                    # A crash mid-night then resumes past these chunks
+                    # instead of recomputing the whole sweep.
+                    on_final(idxs[-1])
                 count += n
         else:
             table_d = jax.device_put(
@@ -1100,9 +1127,12 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                 idxs.append(gidx[int(offs[i]):int(offs[i]) + n])
                 psums.append(psum)
                 guards.append(guard)
+                gfree.append(not gcfg.otf_support)
                 _maybe_part()
                 if on_chunk is not None:
                     on_chunk(idxs[-1], np.asarray(fits[-1]))
+                if on_final is not None and gfree[-1]:
+                    on_final(idxs[-1])
                 count += n
 
     # enqueue-side wall time of the chunk loop (all dispatches are async:
@@ -1148,7 +1178,8 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     tripped = np.nonzero(guard_np < 0.0)[0]
     if on_final is not None:
         trip_set = set(int(i) for i in tripped)
-        clear = [idxs[i] for i in range(len(idxs)) if i not in trip_set]
+        clear = [idxs[i] for i in range(len(idxs))
+                 if i not in trip_set and not gfree[i]]
         if clear:
             on_final(np.concatenate(clear))
     if tripped.size == 0:

@@ -238,3 +238,78 @@ def test_crash_before_guard_resolution_never_marks_done(tmp_path,
     assert seen["B"] == 3
     assert json.load(open(side))["done"] == [0, 1, 2]
     assert np.isfinite(res["beta"]).all()
+
+
+def test_resume_after_crash_skips_guard_free_chunks(tmp_path, monkeypatch):
+    """Guard-free chunks (no OTF-support window => the guard is
+    structurally +inf) are FINAL at delivery: a crash later in the night
+    must leave them marked done, so resume recomputes only the rest —
+    not the whole sweep."""
+    import json
+    import muse_psfr_tpu.api as api
+    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
+    ckpt = str(tmp_path / "eager_ckpt.npy")
+    side = ckpt + ".meta.json"
+
+    real = api.process_batch
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash_at_second_chunk(*a, **k):
+        inner = k.get("on_chunk")
+        calls = []
+
+        def wrapped(idx, packed):
+            if calls:
+                raise Boom()          # dies before the 2nd delivery
+            inner(idx, packed)
+            calls.append(1)
+
+        k["on_chunk"] = wrapped
+        return real(*a, **k)
+
+    monkeypatch.setattr(api, "process_batch", crash_at_second_chunk)
+    import pytest
+    with pytest.raises(Boom):
+        condition_sweep([0.8, 1.0, 1.2], [0.7], [25.0], lbda=[800.0],
+                        cfg=cfg, chunk=2, checkpoint=ckpt)
+
+    # the first (guard-free) chunk's rows were final'd at delivery
+    assert json.load(open(side))["done"] == [0, 1]
+
+    # resume recomputes ONLY the missing grid point
+    seen = {}
+
+    def spy(seeing, *a, **k):
+        seen["B"] = np.atleast_1d(np.asarray(seeing)).shape[0]
+        return real(seeing, *a, **k)
+
+    monkeypatch.setattr(api, "process_batch", spy)
+    res = condition_sweep([0.8, 1.0, 1.2], [0.7], [25.0], lbda=[800.0],
+                          cfg=cfg, chunk=2, checkpoint=ckpt, resume=True)
+    assert seen["B"] == 1
+    assert json.load(open(side))["done"] == [0, 1, 2]
+    assert np.isfinite(res["beta"]).all()
+
+
+def test_sidecar_on_disk_before_first_npy_write(tmp_path, monkeypatch):
+    """The provenance sidecar must hit the disk BEFORE the first .npy
+    checkpoint write: a crash after a sidecar-less np.save would send
+    resume down the NaN-based fallback, which trusts provisional
+    (guard-unvalidated) values."""
+    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
+    ckpt = str(tmp_path / "order_ckpt.npy")
+    side = ckpt + ".meta.json"
+    orig_save = np.save
+    sidecar_present = []
+
+    def spy_save(path, arr, *a, **k):
+        if str(path) == ckpt:
+            sidecar_present.append(os.path.exists(side))
+        return orig_save(path, arr, *a, **k)
+
+    monkeypatch.setattr(np, "save", spy_save)
+    condition_sweep([0.8, 1.0, 1.2], [0.7], [25.0], lbda=[800.0],
+                    cfg=cfg, chunk=2, checkpoint=ckpt)
+    assert sidecar_present and all(sidecar_present)

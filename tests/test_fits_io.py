@@ -294,6 +294,22 @@ def test_card_comments_roundtrip():
     assert rh.comments["TARGET"] == long_comment
 
 
+def test_empty_string_value_with_long_comment_roundtrips():
+    """An empty string value whose comment overflows the card must still
+    emit the keyword card (regression: the CONTINUE segment splitter
+    produced zero segments for '', so the header started with orphan
+    CONTINUE cards and the keyword was silently lost on round-trip)."""
+    h = Header()
+    h["MYKEY"] = ("", "x" * 70)
+    raw = h.tobytes()
+    cards = [raw[i:i + 80].decode("ascii") for i in range(0, len(raw), 80)]
+    assert cards[0].startswith("MYKEY   = ")
+    hdul = _roundtrip(HDUList([PrimaryHDU(header=h)]))
+    rh = hdul[0].header
+    assert rh["MYKEY"] == ""
+    assert rh.comments["MYKEY"] == "x" * 70
+
+
 def test_exact_80_column_card_unchanged():
     """Values that exactly fill one card stay on one card (no gratuitous
     CONTINUE)."""

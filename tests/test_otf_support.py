@@ -446,6 +446,36 @@ def test_bucketed_mesh_matches_single_device():
     assert_allclose(a, b, rtol=0, atol=1e-6)
 
 
+def test_on_final_eager_for_guard_free_chunks():
+    """Chunks of guard-free groups (full-window: the guard is
+    structurally +inf, no redo possible) are final at delivery — their
+    ``on_final`` fires immediately after their ``on_chunk``, not at the
+    night's final pull, so a mid-night crash resumes past them.
+    Windowed chunks stay deferred to guard resolution."""
+    from muse_psfr_tpu.parallel.batch import process_batch
+    lbda = np.array([930.0])
+    # mixed buckets: rows 0, 2 windowed; rows 1, 3 full-window
+    see = np.array([1.0, 0.2, 1.3, 0.25])
+    gl = np.array([0.7, 0.01, 0.5, 0.02])
+    l0 = np.array([25.0, 30.0, 18.0, 29.0])
+    mask = np.ones((4, 4))
+    events = []
+    process_batch(
+        see, gl, l0, mask, lbda, cfg=CFG, chunk=2,
+        on_chunk=lambda idx, _: events.append(("chunk",
+                                               sorted(map(int, idx)))),
+        on_final=lambda idx: events.append(("final",
+                                            sorted(map(int, idx)))))
+    # the full-window chunk's final rides directly on its delivery
+    i = events.index(("chunk", [1, 3]))
+    assert events[i + 1] == ("final", [1, 3])
+    # the windowed chunk's final comes only at the end (guard pull)
+    assert events[-1] == ("final", [0, 2])
+    # every row final'd exactly once
+    assert sorted(r for k, rows in events if k == "final"
+                  for r in rows) == [0, 1, 2, 3]
+
+
 def test_on_final_fires_only_when_guard_resolved():
     """`on_final` must deliver every row exactly once, and the tripped
     row only AFTER its corrected value arrived — a durable sink that

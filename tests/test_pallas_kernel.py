@@ -508,25 +508,25 @@ def test_pallas_zoom_plan():
     from muse_psfr_tpu.config import GalacsiConfig
     from muse_psfr_tpu.otf.psf import _pallas_zoom_plan
     cfg = GalacsiConfig()
-    assert _pallas_zoom_plan(cfg, 512, 9, 12, 384) == (1, 9, 128)
-    assert _pallas_zoom_plan(cfg, 1280, 9, 7, 768) == (2, 9, 128)
-    assert _pallas_zoom_plan(GalacsiConfig(dim=2048), 1024, 9, 7, 640) \
+    assert _pallas_zoom_plan(cfg, 512, 9, 12) == (1, 9, 128)
+    assert _pallas_zoom_plan(cfg, 1280, 9, 7) == (2, 9, 128)
+    assert _pallas_zoom_plan(GalacsiConfig(dim=2048), 1024, 9, 7) \
         == (2, 9, 128)
     # 2048 full: a 1024-row slice still blows the budget (17M) -> 4x512
-    assert _pallas_zoom_plan(GalacsiConfig(dim=2048), 2048, 9, 4, 1152) \
+    assert _pallas_zoom_plan(GalacsiConfig(dim=2048), 2048, 9, 4) \
         == (4, 9, 128)
     # tile_j stays 128 everywhere: the 256-column tile on the
     # single-direction full grid was 1.07x in isolation but a measured
     # NIGHT-LEVEL NEGATIVE (0.981 paired, 7/10 below 1) — see the plan
     # docstring / RESULTS.md
-    assert _pallas_zoom_plan(cfg, 1280, 1, 7, 768) == (1, 1, 128)
-    assert _pallas_zoom_plan(cfg, 512, 1, 12, 384) == (1, 1, 128)
-    assert _pallas_zoom_plan(GalacsiConfig(dim=2048), 2048, 1, 4, 1152) \
+    assert _pallas_zoom_plan(cfg, 1280, 1, 7) == (1, 1, 128)
+    assert _pallas_zoom_plan(cfg, 512, 1, 12) == (1, 1, 128)
+    assert _pallas_zoom_plan(GalacsiConfig(dim=2048), 2048, 1, 4) \
         == (1, 1, 128)
-    assert _pallas_zoom_plan(cfg.with_(pallas_dir_block=3), 1280, 9, 7,
-                             768) == (1, 3, 128)
-    assert _pallas_zoom_plan(cfg.with_(pallas_dir_block=0), 1280, 9, 7,
-                             768) == (1, 1, 128)
+    assert _pallas_zoom_plan(cfg.with_(pallas_dir_block=3), 1280, 9,
+                             7) == (1, 3, 128)
+    assert _pallas_zoom_plan(cfg.with_(pallas_dir_block=0), 1280, 9,
+                             7) == (1, 1, 128)
 
 
 def test_fused_exp_zoom_ndir1_body_bit_identical():

@@ -197,6 +197,18 @@ def test_chunk_compile_hint():
             with pytest.raises(RuntimeError, match="chunk <= 100"):
                 _chunk_compile_hint(caught, 132)
 
+    # a chunk already in the known-good range must NOT be advised to
+    # shrink below 100 (the size is provably not the known cause there —
+    # e.g. a transient service 500, or an oversized dim=2048 program)
+    err = RuntimeError("INTERNAL: http://x/remote_compile: HTTP 500")
+    try:
+        raise err
+    except RuntimeError as caught:
+        with pytest.raises(RuntimeError) as exc:
+            _chunk_compile_hint(caught, 50)
+        assert "chunk <= 100" not in str(exc.value)
+        assert "chunk=50" in str(exc.value)
+
     other = ValueError("unrelated")
     try:
         raise other
