@@ -160,7 +160,14 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
         "npsflin": int(npsflin), "three_lgs_mode": bool(three_lgs_mode),
         "cfg": repr(cfg), "n_packed": int(N_PACKED),
     }
-    sidecar = None if checkpoint is None else str(checkpoint) + ".meta.json"
+    if checkpoint is not None:
+        # np.save silently appends '.npy' to a suffix-less path; without
+        # this normalisation resume would then look for the unsuffixed
+        # name, never find it, and silently recompute the full grid
+        checkpoint = str(checkpoint)
+        if not checkpoint.endswith(".npy"):
+            checkpoint += ".npy"
+    sidecar = None if checkpoint is None else checkpoint + ".meta.json"
 
     buf = {"done": set()}
     if resume and checkpoint is not None and os.path.exists(checkpoint):

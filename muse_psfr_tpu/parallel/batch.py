@@ -169,7 +169,13 @@ def _chunk_compile_hint(err, chunk):
     failure is re-raised unchanged."""
     msg = str(err)
     if "remote_compile" in msg or "tpu_compile_helper" in msg:
-        if isinstance(chunk, int) and chunk > 100:
+        try:
+            # int() not isinstance: numpy integer chunks must get the
+            # same advice ("mean-fit" label chunks fall through)
+            too_big = int(chunk) > 100
+        except (TypeError, ValueError):
+            too_big = False
+        if too_big:
             raise RuntimeError(
                 f"chunk={chunk}: the fused chunk program failed to compile "
                 "on the remote TPU compile service.  Compiled program size "
@@ -906,9 +912,11 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
 
     ``on_final(row_indices)`` is called when rows' values become FINAL
     — i.e. provably not subject to a window-guard redo: right after
-    delivery for chunks of guard-free groups (full-window and
-    exact-transform groups compute a structurally +inf guard, so a
-    mid-night crash resumes past them), once for all rows of untripped
+    delivery for chunks of guard-free groups (groups dispatched with
+    ``otf_support=0``, whose guard is structurally +inf — the
+    full-window bucket, and every group when the base config is
+    full-window — so a mid-night crash resumes past them), once for
+    all rows of untripped
     reduced-window chunks (after the guard vector is pulled), and once
     more for the redone rows (after their corrected values are
     delivered).  An ``on_chunk`` delivery alone is provisional: the

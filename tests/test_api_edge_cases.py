@@ -293,6 +293,34 @@ def test_resume_after_crash_skips_guard_free_chunks(tmp_path, monkeypatch):
     assert np.isfinite(res["beta"]).all()
 
 
+def test_checkpoint_path_without_npy_suffix(tmp_path):
+    """A suffix-less checkpoint path must still resume: np.save silently
+    appends '.npy', so without normalisation the resume lookup misses
+    the file it wrote and silently recomputes the full grid."""
+    import json
+    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
+    ck = str(tmp_path / "noext_ckpt")          # no .npy suffix
+    condition_sweep([0.8, 1.0], [0.7], [25.0], lbda=[800.0],
+                    cfg=cfg, chunk=2, checkpoint=ck)
+    assert os.path.exists(ck + ".npy")
+    assert json.load(open(ck + ".npy.meta.json"))["done"] == [0, 1]
+    # resume with the same suffix-less path finds the checkpoint
+    import muse_psfr_tpu.api as api
+    seen = {}
+    real = api.process_batch
+
+    def spy(seeing, *a, **k):
+        seen["called"] = True
+        return real(seeing, *a, **k)
+
+    import unittest.mock as mock
+    with mock.patch.object(api, "process_batch", spy):
+        res = condition_sweep([0.8, 1.0], [0.7], [25.0], lbda=[800.0],
+                              cfg=cfg, chunk=2, checkpoint=ck, resume=True)
+    assert "called" not in seen                # nothing left to compute
+    assert np.isfinite(res["beta"]).all()
+
+
 def test_sidecar_on_disk_before_first_npy_write(tmp_path, monkeypatch):
     """The provenance sidecar must hit the disk BEFORE the first .npy
     checkpoint write: a crash after a sidecar-less np.save would send

@@ -189,6 +189,8 @@ def test_chunk_compile_hint():
     import pytest
     from muse_psfr_tpu.parallel.batch import _chunk_compile_hint
 
+    import numpy as np
+
     for marker in ("remote_compile", "tpu_compile_helper"):
         err = RuntimeError(f"INTERNAL: http://x/{marker}: HTTP 500")
         try:
@@ -196,6 +198,10 @@ def test_chunk_compile_hint():
         except RuntimeError as caught:
             with pytest.raises(RuntimeError, match="chunk <= 100"):
                 _chunk_compile_hint(caught, 132)
+            # numpy integer chunks (from numpy arithmetic) get the same
+            # advice — isinstance(int) would miss them
+            with pytest.raises(RuntimeError, match="chunk <= 100"):
+                _chunk_compile_hint(caught, np.int64(132))
 
     # a chunk already in the known-good range must NOT be advised to
     # shrink below 100 (the size is provably not the known cause there —
