@@ -183,14 +183,30 @@ def calc_dsp_res_glao_finale(f, arg_f, pitchs_wfs, poslgs, beta, sigv,
         wind = np.zeros((2, h_vrai.size))
         ti = np.zeros(nb_gs)
         td = 0.0
-    W = jnp.asarray(Wmap, jnp.complex128)
-    if W.ndim == 4:
-        W = W[:, 0]
+    W = np.asarray(Wmap, complex)
+    if W.ndim == 3:
+        W = W[:, None]                        # (nb_gs, 1, s, s)
+    h_dm_arr = np.atleast_1d(np.asarray(h_dm, float))
+    if h_dm_arr.size > 1 or W.shape[1] > 1:
+        # multiple DM layers: the reference sums the per-DM phasor
+        # against Wmap (psfrec.py:460-471, 'sum on nb_h_dm', with numpy
+        # broadcasting when the axes mismatch).  Fold that sum into an
+        # effective per-GS reconstructor and hand the single-DM core
+        # h_dm=0 — its own phasor is then exactly 1, reproducing the
+        # reference computation bit-for-bit in host float64.
+        bx, by = float(np.asarray(beta)[0]), float(np.asarray(beta)[1])
+        fxn, fyn = np.asarray(f_x, float), np.asarray(f_y, float)
+        proj_dm = np.exp(1j * 2 * np.pi * h_dm_arr[:, None, None]
+                         * 60 / 206265 * (bx * fxn + by * fyn))
+        W_eff = np.sum(proj_dm[None] * W, axis=1)
+        h_dm_eff = 0.0
+    else:
+        W_eff, h_dm_eff = W[:, 0], float(h_dm_arr[0])
     res = _m.residual_psd_one_dir(
         f, f_x, f_y, poslgs, jnp.ones(nb_gs, jnp.float64),
         jnp.asarray(beta, jnp.float64), jnp.asarray(sigv, jnp.float64),
         jnp.asarray(DSP_tab_vrai, jnp.float64), jnp.asarray(h_vrai),
-        float(np.atleast_1d(h_dm)[0]), W, float(td),
+        h_dm_eff, jnp.asarray(W_eff, jnp.complex128), float(td),
         jnp.asarray(ti, jnp.float64), jnp.asarray(wind, jnp.float64),
         jnp.asarray(pitchs_wfs, jnp.float64), jnp.complex128)
     res = np.asarray(res, float)

@@ -31,9 +31,6 @@ N_PARAMS = 5
 # benchmarks/measure_lm_iters.py, guarded by
 # tests/test_oracle_parity.py::test_lm_iteration_count_certified.
 LM_ITERS = 20
-               # cases.  Measured (v5e, realistic night + extreme-telemetry
-               # corners): 14 iters drifts beta up to 1.5e-3 vs 20 — 15% of
-               # the golden tolerance for ~10 ms/chunk; not worth it.
 
 #: layout of the packed per-plane fit result (one device->host transfer).
 #: ``ok`` is the fit-quality flag (1.0 = converged: finite final

@@ -5,9 +5,14 @@ The reference package leans on ``astropy.io.fits`` for its I/O contract
 (reference psfrec.py:1016-1026, 1094-1113): read a binary-table extension of
 SPARTA telemetry, write a PRIMARY + table copies + two fit tables + one
 image extension.  This module implements exactly the needed subset of the
-FITS standard (primary/image HDUs with BITPIX 8/16/32/64/-32/-64, binary
-tables with L/B/I/J/K/E/D/A columns incl. vector repeats), in pure
-NumPy/stdlib, producing standard-conformant files that astropy can read.
+FITS standard (primary/image HDUs with BITPIX 8/16/32/64/-32/-64 incl. the
+unsigned BZERO convention and general BSCALE/BZERO scaling, binary tables
+with L/B/I/J/K/E/D/A columns incl. vector repeats and TSCALn/TZEROn
+scaling, CONTINUE long strings, undefined values), in pure NumPy/stdlib,
+producing standard-conformant files that astropy can read.  Payloads
+decode lazily at first ``.data`` access, so raw MUSE exposures carrying
+two dozen CHAN image extensions (or extension types outside this subset)
+cost nothing when only the primary header and the SPARTA table are used.
 
 Supported inputs: file path, binary file-like object, bytes, or an
 :class:`HDUList` (pass-through), covering every call pattern of the
@@ -30,7 +35,11 @@ _TFORM_TO_DTYPE = {
     "E": ">f4", "D": ">f8",
 }
 _KIND_TO_TFORM = {
-    ("i", 1): "B", ("u", 1): "B", ("i", 2): "I", ("i", 4): "J",
+    # NOTE no ("i", 1): TFORM 'B' is UNSIGNED — writing int8 through it
+    # would silently wrap negative values (the signed-byte convention
+    # needs TZERO=-128, which this codec does not emit); int8 columns
+    # fail loudly in _column_tform like every other unsupported dtype
+    ("u", 1): "B", ("i", 2): "I", ("i", 4): "J",
     ("i", 8): "K", ("f", 4): "E", ("f", 8): "D", ("b", 1): "L",
 }
 _BITPIX_TO_DTYPE = {8: ">u1", 16: ">i2", 32: ">i4", 64: ">i8",
@@ -126,6 +135,11 @@ class Header:
     # -- serialisation --------------------------------------------------------
     @staticmethod
     def _format_value(v):
+        if v is None:
+            # undefined value (legal FITS: blank value field) — raw-MUSE
+            # headers copied through the reader can carry these; they
+            # must round-trip instead of crashing the final writeto
+            return ""
         if isinstance(v, bool) or isinstance(v, np.bool_):
             return "T" if v else "F"
         if isinstance(v, str):
@@ -202,8 +216,11 @@ class Header:
         ``CONTINUE``, and an overlong comment rides on ``'&'``
         continuation cards."""
         esc = value.replace("'", "''")
-        pad = max(0, 8 - len(value))   # "'%-8s'" minimum string width
-        one = "%-8s= '%s'%s" % (key, esc, " " * pad)
+        # fixed-format: strings pad to >= 8 chars INSIDE the quotes
+        # (closing quote in column 20 or later, FITS 4.0 sect 4.2.1.1);
+        # padding after the closing quote would make every mandatory
+        # card (XTENSION= 'IMAGE') fail fitsverify
+        one = "%-8s= '%-8s'" % (key, esc)
         if comment:
             one += " / " + comment
         if len(one) <= 80:
@@ -278,6 +295,8 @@ def _parse_header_value(raw):
             i += 1
         return "".join(s).rstrip()
     token = raw.split("/")[0].strip()
+    if not token:
+        return None       # undefined value carrying only a comment
     if token == "T":
         return True
     if token == "F":
@@ -377,6 +396,23 @@ def _skip_padding(stream, nbytes):
 
 class _BaseHDU:
     name = "PRIMARY"
+    _pending = None      # () -> ndarray: deferred payload decode
+
+    @property
+    def data(self):
+        """Decoded payload.  Files are read with DEFERRED decoding: the
+        reader records where each payload lives and only decodes (and,
+        for path sources, only loads) it on first access — a raw MUSE
+        exposure's 24 CHAN image extensions cost nothing when the
+        caller only wants the primary header or the SPARTA table."""
+        if self._pending is not None:
+            self._data, self._pending = self._pending(), None
+        return self._data
+
+    @data.setter
+    def data(self, value):
+        self._data = value
+        self._pending = None
 
     def copy(self):
         import copy as _copy
@@ -413,6 +449,24 @@ class BinTableHDU(_BaseHDU):
         HDUList([PrimaryHDU(), self]).writeto(target, overwrite=overwrite)
 
 
+class UnsupportedHDU(_BaseHDU):
+    """Extension type this codec cannot decode (ASCII TABLE, compressed,
+    random groups).  The header is fully usable and name-based HDUList
+    lookups skip past it; only a ``.data`` access raises — so a raw file
+    carrying exotic extensions alongside the SPARTA table still opens
+    (astropy behaviour: lazy section reading)."""
+
+    def __init__(self, header, xtension):
+        self.header = header
+        self.name = header.get("EXTNAME", "")
+        self._xt = xtension
+
+    @property
+    def data(self):
+        raise NotImplementedError(
+            "XTENSION %r not supported (data access)" % (self._xt,))
+
+
 class HDUList(list):
     """A list of HDUs with name-based indexing and ``writeto``."""
 
@@ -435,6 +489,11 @@ class HDUList(list):
         if hasattr(target, "write"):
             target.write(buf)
         else:
+            import os
+            if not overwrite and os.path.exists(target):
+                # astropy's contract: never silently clobber
+                raise OSError("File %r already exists; use overwrite=True "
+                              "to replace it" % (str(target),))
             with open(target, "wb") as fh:
                 fh.write(buf)
 
@@ -461,7 +520,7 @@ def _parse_tform(tform):
     return repeat, code, base
 
 
-def _read_bintable(stream, hdr):
+def _decode_bintable(raw, hdr):
     nrows = int(hdr["NAXIS2"])
     rowlen = int(hdr["NAXIS1"])
     tfields = int(hdr["TFIELDS"])
@@ -482,16 +541,21 @@ def _read_bintable(stream, hdr):
     if dtype.itemsize != rowlen:
         raise IOError("row size mismatch: %d vs NAXIS1=%d"
                       % (dtype.itemsize, rowlen))
-    nbytes = nrows * rowlen + int(hdr.get("PCOUNT", 0))
-    raw = stream.read(nrows * rowlen)
-    stream.seek(int(hdr.get("PCOUNT", 0)), io.SEEK_CUR)
-    _skip_padding(stream, nbytes)
     data = np.frombuffer(raw, dtype=dtype, count=nrows)
     data = data.astype(dtype.newbyteorder("="))  # native byte order copy
     # logical columns are stored as ASCII 'T'/'F' bytes -> bool
     logical = {nm for nm, tf in zip(names, formats)
                if _parse_tform(tf)[1] == "L"}
-    if logical:
+    # TSCALn/TZEROn columns scale to physical values on read (astropy
+    # semantics): the unsigned convention maps to the matching unsigned
+    # dtype, anything else promotes to float64 (see _apply_scaling)
+    scaled = {}
+    for k, nm in enumerate(names, start=1):
+        ts = hdr.get("TSCAL%d" % k, 1)
+        tz = hdr.get("TZERO%d" % k, 0)
+        if ts != 1 or tz != 0:
+            scaled[nm] = (ts, tz)
+    if logical or scaled:
         fields = []
         for nm in names:
             ft = data.dtype.fields[nm][0]
@@ -499,15 +563,30 @@ def _read_bintable(stream, hdr):
                            if ft.subdtype is not None else (ft, ()))
             if nm in logical:
                 base = np.dtype(np.bool_)
+            elif nm in scaled:
+                ts, tz = scaled[nm]
+                conv_u = _UNSIGNED_BZERO.get(base.itemsize)
+                if (ts == 1 and base.kind == "i" and conv_u is not None
+                        and tz == conv_u[0]):
+                    base = np.dtype(conv_u[1])
+                else:
+                    base = np.dtype("f8")
             fields.append((nm, base, shape) if shape else (nm, base))
         conv = np.empty(nrows, dtype=np.dtype(fields))
         for nm in names:
-            conv[nm] = (data[nm] == ord("T")) if nm in logical else data[nm]
+            if nm in logical:
+                conv[nm] = data[nm] == ord("T")
+            elif nm in scaled:
+                ts, tz = scaled[nm]
+                conv[nm] = _apply_scaling(
+                    np.ascontiguousarray(data[nm]), ts, tz)
+            else:
+                conv[nm] = data[nm]
         return conv
     return data
 
 
-def _read_image(stream, hdr):
+def _decode_image(raw, hdr):
     bitpix = int(hdr["BITPIX"])
     naxis = int(hdr["NAXIS"])
     if naxis == 0:
@@ -515,28 +594,86 @@ def _read_image(stream, hdr):
     shape = tuple(int(hdr["NAXIS%d" % k]) for k in range(naxis, 0, -1))
     count = int(np.prod(shape))
     dt = np.dtype(_BITPIX_TO_DTYPE[bitpix])
-    nbytes = count * dt.itemsize
-    raw = stream.read(nbytes)
-    _skip_padding(stream, nbytes)
     data = np.frombuffer(raw, dtype=dt, count=count).reshape(shape)
     data = data.astype(dt.newbyteorder("="))
-    bscale = hdr.get("BSCALE", 1)
-    bzero = hdr.get("BZERO", 0)
-    if bscale != 1 or bzero != 0:
-        data = data * bscale + bzero
-    return data
+    return _apply_scaling(data, hdr.get("BSCALE", 1), hdr.get("BZERO", 0))
+
+
+def _payload_nbytes(hdr):
+    """Payload size from the header alone (FITS 4.0 eq. 1/2): every
+    standard HDU's data length is computable without decoding it."""
+    naxis = int(hdr.get("NAXIS", 0))
+    nelem = 1
+    for k in range(1, naxis + 1):
+        nelem *= int(hdr.get("NAXIS%d" % k, 0))
+    if naxis == 0:
+        nelem = 0
+    bitpix = abs(int(hdr.get("BITPIX", 8)))
+    gcount = int(hdr.get("GCOUNT", 1))
+    pcount = int(hdr.get("PCOUNT", 0))
+    return (bitpix // 8) * gcount * (pcount + nelem)
+
+
+# BZERO values of the FITS unsigned-integer convention per signed
+# on-disk itemsize: flipping the sign bit recovers the unsigned value
+_UNSIGNED_BZERO = {2: (1 << 15, "u2"), 4: (1 << 31, "u4"),
+                   8: (1 << 63, "u8")}
+
+
+def _apply_scaling(data, bscale, bzero):
+    """Physical values from stored ones (astropy semantics).
+
+    The unsigned convention (BSCALE 1, BZERO 2^(bits-1) on a signed
+    integer array — every raw MUSE CHAN extension) maps to the matching
+    unsigned dtype via a sign-bit flip; anything else promotes to
+    float64 BEFORE scaling (``int16 * 1 + 32768`` would raise
+    OverflowError on NumPy 2)."""
+    if bscale == 1 and bzero == 0:
+        return data
+    conv = _UNSIGNED_BZERO.get(data.dtype.itemsize)
+    if (bscale == 1 and data.dtype.kind == "i" and conv is not None
+            and bzero == conv[0]):
+        ud = np.dtype(conv[1])
+        return data.view(ud) ^ ud.type(conv[0])
+    return data.astype("f8") * bscale + bzero
+
+
+def _path_loader(path, offset, nbytes, hdr, decode):
+    """Deferred decode for path sources: the payload bytes are only read
+    (and the file only re-opened) at first ``.data`` access."""
+    def load():
+        with open(path, "rb") as fh:
+            fh.seek(offset)
+            raw = fh.read(nbytes)
+        if len(raw) < nbytes:
+            raise IOError("truncated FITS data in %r" % (path,))
+        return decode(raw, hdr)
+    return load
 
 
 def fits_open(source):
-    """Open a FITS file (path, bytes, file-like, or HDUList pass-through)."""
+    """Open a FITS file (path, bytes, file-like, or HDUList pass-through).
+
+    Headers are parsed eagerly; payloads decode LAZILY at first ``.data``
+    access (for path sources they are not even read until then — the
+    payload length is computable from the header, FITS 4.0 eq. 1/2).
+    A raw exposure's two dozen CHAN image extensions therefore cost
+    nothing when only the primary header or the SPARTA table is wanted,
+    and extension types the codec cannot decode (ASCII tables,
+    tile-compressed HDUs) only raise if their data is actually accessed.
+    """
     if isinstance(source, HDUList):
         return source
+    path = None
     if isinstance(source, (bytes, bytearray)):
         stream = io.BytesIO(source)
     elif hasattr(source, "read"):
         stream = source
     else:
-        stream = open(source, "rb")
+        path = str(source)
+        stream = open(path, "rb")
+        import os
+        fsize = os.fstat(stream.fileno()).st_size
     try:
         hdus = HDUList()
         first = True
@@ -551,19 +688,38 @@ def fits_open(source):
                                   "(no HDUs found)")
                 break
             if first:
-                data = _read_image(stream, hdr)
-                hdus.append(PrimaryHDU(data=data, header=hdr))
+                xt, decode, hdu = "IMAGE", _decode_image, PrimaryHDU(
+                    header=hdr)
                 first = False
-                continue
-            xt = str(hdr.get("XTENSION", "IMAGE")).strip().upper()
-            if xt == "BINTABLE":
-                data = _read_bintable(stream, hdr)
-                hdus.append(BinTableHDU(data=data, header=hdr))
-            elif xt == "IMAGE":
-                data = _read_image(stream, hdr)
-                hdus.append(ImageHDU(data=data, header=hdr))
             else:
-                raise NotImplementedError("XTENSION %r not supported" % xt)
+                xt = str(hdr.get("XTENSION", "IMAGE")).strip().upper()
+                if xt == "BINTABLE":
+                    decode, hdu = _decode_bintable, BinTableHDU(header=hdr)
+                elif xt == "IMAGE":
+                    decode, hdu = _decode_image, ImageHDU(header=hdr)
+                else:
+                    decode, hdu = None, UnsupportedHDU(hdr, xt)
+            nbytes = _payload_nbytes(hdr)
+            if path is not None:
+                offset = stream.tell()
+                if offset + nbytes > fsize:
+                    raise IOError("truncated FITS data in %r (HDU %r "
+                                  "needs %d bytes past offset %d)"
+                                  % (path, hdu.name, nbytes, offset))
+                if decode is not None and nbytes:
+                    hdu._pending = _path_loader(path, offset, nbytes,
+                                                hdr, decode)
+                stream.seek(nbytes + ((-nbytes) % BLOCK), io.SEEK_CUR)
+            else:
+                raw = stream.read(nbytes)
+                if len(raw) < nbytes:
+                    raise OSError("truncated FITS data (HDU %r)"
+                                  % (hdu.name,))
+                _skip_padding(stream, nbytes)
+                if decode is not None and nbytes:
+                    hdu._pending = (lambda raw=raw, hdr=hdr, d=decode:
+                                    d(raw, hdr))
+            hdus.append(hdu)
         return hdus
     finally:
         if not hasattr(source, "read") and not isinstance(
@@ -611,16 +767,30 @@ def _image_header(data, primary, extra=None, name=""):
             h.append("EXTNAME", name, "extension name")
     if extra is not None:
         for k, v, c in extra:
+            # BSCALE/BZERO/BLANK are stripped: scaling was applied at
+            # read time (_apply_scaling), so copying the cards back
+            # would double-apply it on the next read; the writer emits
+            # its own BZERO when serialising unsigned data
             if k.upper() in ("SIMPLE", "XTENSION", "BITPIX", "NAXIS",
-                             "EXTEND", "PCOUNT", "GCOUNT") or \
+                             "EXTEND", "PCOUNT", "GCOUNT", "BSCALE",
+                             "BZERO", "BLANK") or \
                     k.upper().startswith("NAXIS"):
                 continue
             h[k] = (v, c)
     return h
 
 
+# unsigned table columns (like unsigned images) use the sign-flip
+# convention on write: signed storage TFORM + TZEROn = 2^(bits-1)
+_UNSIGNED_COLUMN = {2: ("I", 1 << 15), 4: ("J", 1 << 31), 8: ("K", 1 << 63)}
+
+
 def _column_tform(dtype, shape):
     key = (dtype.kind, dtype.itemsize)
+    if dtype.kind == "u" and dtype.itemsize in _UNSIGNED_COLUMN:
+        code = _UNSIGNED_COLUMN[dtype.itemsize][0]
+        repeat = int(np.prod(shape)) if shape else 1
+        return ("%d%s" % (repeat, code)) if repeat != 1 else code
     if dtype.kind == "S":
         if shape:
             # an (S<n>, (k,)) column needs TFORM '<n*k>A' plus a TDIM to
@@ -649,13 +819,26 @@ def _bintable_bytes(hdu):
             base, shape = ft.subdtype
         else:
             base = ft
-        # logical columns are one 'T'/'F' byte each on disk
-        be = np.dtype("u1") if base.kind == "b" else base.newbyteorder(">")
+        # logical columns are one 'T'/'F' byte each on disk; unsigned
+        # ints store sign-flipped signed values (TZEROn convention)
+        if base.kind == "b":
+            be = np.dtype("u1")
+        elif base.kind == "u" and base.itemsize in _UNSIGNED_COLUMN:
+            be = np.dtype(">i%d" % base.itemsize)
+        else:
+            be = base.newbyteorder(">")
         fields.append((nm, be, shape) if shape else (nm, be))
     disk_dtype = np.dtype(fields)
     disk = np.empty(len(data), dtype=disk_dtype)
     for nm in names:
-        disk[nm] = data[nm]
+        base = data.dtype.fields[nm][0]
+        base = base.subdtype[0] if base.subdtype is not None else base
+        if base.kind == "u" and base.itemsize in _UNSIGNED_COLUMN:
+            off = _UNSIGNED_COLUMN[base.itemsize][1]
+            disk[nm] = ((data[nm] ^ base.type(off))
+                        .view("i%d" % base.itemsize))
+        else:
+            disk[nm] = data[nm]
 
     h = Header()
     h.append("XTENSION", "BINTABLE", "binary table extension")
@@ -674,12 +857,20 @@ def _bintable_bytes(hdu):
             base, shape = ft, ()
         h.append("TTYPE%d" % k, nm)
         h.append("TFORM%d" % k, _column_tform(base, shape))
+        if base.kind == "u" and base.itemsize in _UNSIGNED_COLUMN:
+            h.append("TZERO%d" % k, _UNSIGNED_COLUMN[base.itemsize][1],
+                     "offset for unsigned integers")
+            h.append("TSCAL%d" % k, 1, "default scaling factor")
     if hdu.name:
         h.append("EXTNAME", hdu.name, "extension name")
     for key, val, com in hdu.header._cards:
+        # TSCAL/TZERO/TNULL are stripped like the image BSCALE/BZERO:
+        # scaling was applied at read time, copying the cards back
+        # would double-apply it on the next read
         if key in ("XTENSION", "BITPIX", "NAXIS", "NAXIS1", "NAXIS2",
                    "PCOUNT", "GCOUNT", "TFIELDS", "EXTNAME") or \
-                key.startswith(("TTYPE", "TFORM", "TDIM")):
+                key.startswith(("TTYPE", "TFORM", "TDIM", "TSCAL",
+                                "TZERO", "TNULL")):
             continue
         h[key] = (val, com)
 
@@ -697,16 +888,26 @@ def _bintable_bytes(hdu):
 
 def _image_bytes(hdu, primary):
     data = hdu.data
+    bzero = None
     if data is not None:
         data = np.asarray(data)
         if data.dtype.kind == "f" and data.dtype.itemsize not in (4, 8):
             data = data.astype("f8")
         if data.dtype.kind == "b":
             data = data.astype("u1")
+        if data.dtype.kind == "u" and data.dtype.itemsize in (2, 4, 8):
+            # unsigned convention: store sign-flipped signed ints plus
+            # a BZERO card (the exact inverse of _apply_scaling)
+            bzero = 1 << (8 * data.dtype.itemsize - 1)
+            data = ((data ^ data.dtype.type(bzero))
+                    .view("i%d" % data.dtype.itemsize))
     extra = (list(hdu.header._cards) if hdu.header is not None
              else None)                 # (key, value, comment) triples
     h = _image_header(data, primary, extra=extra,
                       name=getattr(hdu, "name", ""))
+    if bzero is not None:
+        h["BSCALE"] = (1, "default scaling factor")
+        h["BZERO"] = (bzero, "offset data range to that of unsigned int")
     out = h.tobytes()
     if data is not None:
         raw = data.astype(data.dtype.newbyteorder(">")).tobytes()

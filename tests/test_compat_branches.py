@@ -226,6 +226,78 @@ def test_residual_psd_unequal_pitches():
     assert np.abs(np.asarray(got) - want).max() < 1e-10
 
 
+def test_residual_psd_multi_dm_layers():
+    """Multiple DM layers: the reference sums the per-DM phasor against
+    Wmap ('sum on nb_h_dm', psfrec.py:460-471, with numpy broadcasting
+    when the Wmap DM axis is 1).  The shim folds that sum into an
+    effective per-GS reconstructor; checked against a literal
+    transcription for both a true 2-DM Wmap and the broadcast case."""
+    s = 64
+    f, f_x, f_y = orc.freq_grids(s, 8 / 40)
+    with np.errstate(all="ignore"):
+        t = np.where(f == 0, 0.0, f_y / f_x)
+    arg_f = np.arctan(t)
+    poslgs = np.array([[1, 1], [-1, -1], [-1, 1], [1, -1]], float).T * 63 / 60
+    pitchs = np.array([8 / 24, 8 / 24, 8 / 32, 8 / 16])
+    sigr = np.ones(4)
+    h_vrai = np.array([100.0, 10000.0])
+    layers = orc.vk_psd(f, np.array([0.7, 0.3])[:, None, None] ** (-3 / 5)
+                        * 0.15, 25.0)
+    wind = np.stack([12.0 * np.cos([0.6, -0.3]), 12.0 * np.sin([0.6, -0.3])])
+    ti = np.full(4, 1e-3)
+    td = 2.5e-3
+    beta = np.array([0.1, -0.2])
+    h_dm = np.array([1.0, 10000.0])
+    W = _recon_ref_numpy(f, arg_f, pitchs, poslgs, sigr,
+                         orc.vk_psd(f, 0.15, 25.0), 1.0, True)
+
+    # shared transcription pieces (psfrec.py:429-525)
+    p = pitchs[:, None, None]
+    wfs = 2 * np.pi * 1j * f * np.sinc(p * f_x) * np.sinc(p * f_y)
+    fc = 1 / (2 * p)
+    wfs[(f != 0) & (np.abs(f_x) > fc) | (np.abs(f_y) > fc)] = 0.0
+    Mv = np.zeros((2, 4, s, s), complex)
+    for i in range(2):
+        for j in range(4):
+            ff = (f_x * poslgs[0, j] + f_y * poslgs[1, j]) \
+                * h_vrai[i] * 60 / 206265
+            www = np.sinc(wind[0, i] * ti[j] * f_x + wind[1, i] * ti[j] * f_y)
+            Mv[i, j] = www * wfs[j] * np.exp(1j * 2 * np.pi * ff)
+    dT = ti.max() + td
+    proj_beta = np.stack([
+        np.exp(1j * 2 * np.pi * (hv * 60 / 206265 *
+                                 (beta[0] * f_x + beta[1] * f_y)
+                                 - (wind[0, i] * dT * f_x
+                                    + wind[1, i] * dT * f_y)))
+        for i, hv in enumerate(h_vrai)])
+    p_dm = np.stack([np.exp(1j * 2 * np.pi * h * 60 / 206265 *
+                            (beta[0] * f_x + beta[1] * f_y)) for h in h_dm])
+
+    def want_for(wmap4):
+        proj_tmp = np.einsum("dxy,gdxy->gxy", p_dm,
+                             np.broadcast_to(wmap4, (4, 2, s, s)))
+        proj = proj_beta - np.einsum("gxy,lgxy->lxy", proj_tmp, Mv)
+        err_recons = np.sum(proj * layers * proj.conj(), axis=0).real
+        err_recons[0, 0] = 0.0
+        err_noise = np.sum(np.abs(proj_tmp) ** 2 * sigr[:, None, None],
+                           axis=0)
+        err_noise[0, 0] = 0.0
+        return err_recons + err_noise
+
+    # true 2-DM Wmap (nb_gs, 2, s, s)
+    wmap2 = np.stack([0.6 * W, 0.4 * W], axis=1)
+    got = ref_api.calc_dsp_res_glao_finale(
+        f, arg_f, pitchs, poslgs, beta, sigr, layers, h_vrai, h_dm,
+        wmap2, td, ti, wind, tempo=True, fitting=True)
+    assert np.abs(np.asarray(got) - want_for(wmap2)).max() < 1e-10
+
+    # broadcast case: single-DM Wmap against two h_dm values
+    got_b = ref_api.calc_dsp_res_glao_finale(
+        f, arg_f, pitchs, poslgs, beta, sigr, layers, h_vrai, h_dm,
+        W[:, None], td, ti, wind, tempo=True, fitting=True)
+    assert np.abs(np.asarray(got_b) - want_for(W[:, None])).max() < 1e-10
+
+
 def test_simul_psd_wfm_rejects_non_two_layer_profiles():
     """The reference crashes with a broadcast error for != 2 layers (its
     wind-direction array is pinned to two IDL values); we raise clearly."""

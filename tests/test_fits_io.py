@@ -158,8 +158,188 @@ def test_unsupported_image_dtype_raises():
     import pytest
     with pytest.raises(TypeError):
         HDUList([PrimaryHDU(),
-                 ImageHDU(data=np.arange(6, dtype=np.uint16).reshape(2, 3))
+                 ImageHDU(data=np.arange(6, dtype=np.complex64
+                                         ).reshape(2, 3))
                  ]).writeto(io.BytesIO())
+
+
+def test_unsigned_image_roundtrip_bzero_convention():
+    """Unsigned integer images use the FITS BZERO convention (signed
+    storage + sign-bit offset) — the layout of every raw MUSE CHAN
+    extension.  Values spanning the full range must round-trip with the
+    unsigned dtype preserved, and the scaling keywords must NOT survive
+    into the data-adjusted header copy (double-apply hazard)."""
+    for dt, lo, hi in ((np.uint16, 0, 65535), (np.uint32, 0, 2**32 - 1),
+                      (np.uint64, 0, 2**64 - 1)):
+        a = np.array([[lo, 1, 2], [3, 4, hi]], dtype=dt)
+        buf = io.BytesIO()
+        HDUList([PrimaryHDU(), ImageHDU(data=a, name="U")]).writeto(buf)
+        buf.seek(0)
+        back = fits_open(buf)["U"]
+        assert back.data.dtype == dt
+        np.testing.assert_array_equal(back.data, a)
+        # re-serialise the read HDU: values must survive a second cycle
+        # (regression: BZERO used to be copied back AND the data left
+        # scaled, doubling the offset every round trip)
+        buf2 = io.BytesIO()
+        HDUList([PrimaryHDU(), back]).writeto(buf2)
+        buf2.seek(0)
+        np.testing.assert_array_equal(fits_open(buf2)["U"].data, a)
+
+
+def test_bzero_int16_no_overflow():
+    """BITPIX 16 + BZERO 32768 (the standard unsigned convention) must
+    not raise OverflowError on NumPy 2 ('Python integer 32768 out of
+    bounds for int16') — it crashed the CLI on every real raw MUSE
+    exposure."""
+    h = Header()
+    h["SIMPLE"] = True
+    h["BITPIX"] = 16
+    h["NAXIS"] = 2
+    h["NAXIS1"] = 2
+    h["NAXIS2"] = 1
+    h["BZERO"] = 32768
+    h["BSCALE"] = 1
+    raw = np.array([[-32768, 32767]], dtype=">i2").tobytes()
+    blob = h.tobytes() + raw + b"\x00" * ((-len(raw)) % 2880)
+    data = fits_open(io.BytesIO(blob))[0].data
+    assert data.dtype == np.uint16
+    np.testing.assert_array_equal(data, [[0, 65535]])
+    # a general (non-convention) scaling promotes to float64
+    h["BZERO"] = 100
+    h["BSCALE"] = 2
+    blob = h.tobytes() + raw + b"\x00" * ((-len(raw)) % 2880)
+    data = fits_open(io.BytesIO(blob))[0].data
+    assert data.dtype == np.float64
+    np.testing.assert_array_equal(data, [[-65436.0, 65634.0]])
+
+
+def test_int8_column_rejected_loudly():
+    """TFORM 'B' is unsigned: writing an int8 column through it would
+    silently wrap negative values, so it must raise like every other
+    unsupported dtype."""
+    import pytest
+    rec = np.zeros(2, dtype=[("a", "i1")])
+    rec["a"] = [-5, 3]
+    with pytest.raises(TypeError, match="column dtype"):
+        BinTableHDU(data=rec, name="T").writeto(io.BytesIO())
+
+
+def test_undefined_header_value_roundtrips():
+    """Cards with an undefined (blank) value — legal FITS, present in
+    real raw headers — must parse to None and write back out instead of
+    crashing the final writeto after a full reconstruction."""
+    h = Header()
+    h["UNDEF"] = (None, "no value, only a comment")
+    h["AFTER"] = 1
+    buf = io.BytesIO()
+    HDUList([PrimaryHDU(header=h)]).writeto(buf)
+    buf.seek(0)
+    rh = fits_open(buf)[0].header
+    assert rh["UNDEF"] is None
+    assert rh.comments["UNDEF"] == "no value, only a comment"
+    assert rh["AFTER"] == 1
+
+
+def test_string_values_pad_inside_quotes():
+    """Fixed-format rule (FITS 4.0 sect 4.2.1.1): string values pad to
+    >= 8 chars INSIDE the quotes — XTENSION= 'IMAGE   ' not 'IMAGE'."""
+    buf = io.BytesIO()
+    HDUList([PrimaryHDU(),
+             ImageHDU(data=np.zeros((2, 2), np.float32), name="X")
+             ]).writeto(buf)
+    raw = buf.getvalue()
+    cards = [raw[i:i + 80].decode("ascii") for i in range(0, len(raw), 80)]
+    xt = [c for c in cards if c.startswith("XTENSION")][0]
+    assert xt.startswith("XTENSION= 'IMAGE   '")
+
+
+def test_writeto_overwrite_false_refuses(tmp_path):
+    import pytest
+    p = str(tmp_path / "x.fits")
+    hl = HDUList([PrimaryHDU()])
+    hl.writeto(p)
+    with pytest.raises(OSError, match="overwrite"):
+        hl.writeto(p, overwrite=False)
+    hl.writeto(p, overwrite=True)          # explicit overwrite works
+
+
+def test_scaled_table_column_read():
+    """TSCALn/TZEROn columns scale to physical values on read (astropy
+    semantics): the unsigned convention yields the unsigned dtype,
+    anything else float64; the scaling keywords are stripped on
+    re-write so the values never double-apply."""
+    h = Header()
+    h["XTENSION"] = "BINTABLE"
+    h["BITPIX"] = 8
+    h["NAXIS"] = 2
+    h["NAXIS1"] = 4
+    h["NAXIS2"] = 2
+    h["PCOUNT"] = 0
+    h["GCOUNT"] = 1
+    h["TFIELDS"] = 2
+    h["TTYPE1"] = "u"
+    h["TFORM1"] = "I"
+    h["TZERO1"] = 32768
+    h["TTYPE2"] = "s"
+    h["TFORM2"] = "I"
+    h["TSCAL2"] = 0.5
+    h["TZERO2"] = 10
+    h["EXTNAME"] = "SC"
+    rows = np.zeros(2, dtype=[("u", ">i2"), ("s", ">i2")])
+    rows["u"] = [-32768, 32767]
+    rows["s"] = [4, -2]
+    raw = rows.tobytes()
+    blob = (Header([("SIMPLE", True, ""), ("BITPIX", 8, ""),
+                    ("NAXIS", 0, ""), ("EXTEND", True, "")]).tobytes()
+            + h.tobytes() + raw + b"\x00" * ((-len(raw)) % 2880))
+    t = fits_open(io.BytesIO(blob))["SC"]
+    assert t.data["u"].dtype == np.uint16
+    np.testing.assert_array_equal(t.data["u"], [0, 65535])
+    assert t.data["s"].dtype == np.float64
+    np.testing.assert_array_equal(t.data["s"], [12.0, 9.0])
+    # re-write: stale scaling keywords are stripped (the unsigned
+    # column legitimately re-emits its own TZERO1; the float64 column
+    # must carry none) and the values survive a second cycle unchanged
+    buf = io.BytesIO()
+    out = BinTableHDU(data=np.asarray(t.data), name="SC",
+                      header=t.header)
+    out.writeto(buf)
+    buf.seek(0)
+    rh = fits_open(buf)["SC"]
+    assert "TSCAL2" not in rh.header and "TZERO2" not in rh.header
+    assert rh.data["u"].dtype == np.uint16
+    np.testing.assert_array_equal(rh.data["u"], [0, 65535])
+    np.testing.assert_array_equal(rh.data["s"], [12.0, 9.0])
+
+
+def test_lazy_decode_and_unsupported_extension(tmp_path):
+    """Payloads decode lazily: opening a file with an extension type the
+    codec cannot decode (ASCII TABLE) must succeed, name-based lookup
+    must reach the HDUs behind it, and only accessing the unsupported
+    .data raises."""
+    import pytest
+    # hand-build: PRIMARY | TABLE (unsupported) | IMAGE 'GOOD'
+    prim = Header([("SIMPLE", True, ""), ("BITPIX", 8, ""),
+                   ("NAXIS", 0, ""), ("EXTEND", True, "")]).tobytes()
+    tbl = Header([("XTENSION", "TABLE", ""), ("BITPIX", 8, ""),
+                  ("NAXIS", 2, ""), ("NAXIS1", 10, ""), ("NAXIS2", 3, ""),
+                  ("PCOUNT", 0, ""), ("GCOUNT", 1, ""), ("TFIELDS", 1, ""),
+                  ("TFORM1", "A10", ""), ("EXTNAME", "ASCII", "")])
+    tpay = b"x" * 30
+    img = np.arange(4, dtype=np.float32).reshape(2, 2)
+    buf = io.BytesIO()
+    HDUList([PrimaryHDU(), ImageHDU(data=img, name="GOOD")]).writeto(buf)
+    good_bytes = buf.getvalue()[2880:]     # the IMAGE extension blocks
+    blob = (prim + tbl.tobytes() + tpay + b"\x00" * ((-30) % 2880)
+            + good_bytes)
+    p = str(tmp_path / "mixed.fits")
+    open(p, "wb").write(blob)
+    hdul = fits_open(p)                    # must not raise
+    assert [h.name for h in hdul] == ["PRIMARY", "ASCII", "GOOD"]
+    np.testing.assert_array_equal(hdul["GOOD"].data, img)
+    with pytest.raises(NotImplementedError, match="TABLE"):
+        hdul["ASCII"].data
 
 
 def test_fits_open_rejects_malformed_inputs():

@@ -195,6 +195,35 @@ def test_script_with_file(tmp_path):
     ]
 
 
+def test_script_with_raw_exposure_layout(tmp_path):
+    """A raw-MUSE-like input — OBS cards in the primary header, a
+    BZERO-convention uint16 CHAN image extension, and the SPARTA table —
+    must drive the CLI end-to-end: the header line is read without
+    decoding the CHAN payload (lazy reader; the BZERO path used to
+    raise OverflowError on NumPy 2 before reconstruction started)."""
+    import io as _io
+    import numpy as np
+    from muse_psfr_tpu.io.fits import Header, HDUList, PrimaryHDU, ImageHDU
+
+    prim_h = Header()
+    prim_h["HIERARCH ESO OBS NAME"] = "TestOB"
+    prim_h["DATE"] = "2026-08-19"
+    prim_h["HIERARCH ESO TEL AIRM START"] = 1.2
+    prim_h["HIERARCH ESO TEL AIRM END"] = 1.3
+    chan = (np.arange(64 * 48) % 65536).astype(np.uint16).reshape(64, 48)
+    testfile = str(tmp_path / "raw.fits")
+    HDUList([PrimaryHDU(header=prim_h), ImageHDU(data=chan, name="CHAN01"),
+             create_sparta_table()]).writeto(testfile)
+
+    logfile = str(tmp_path / "muse_psfr.log")
+    main([testfile, "--no-color", "--logfile", logfile])
+
+    with open(logfile) as f:
+        lines = f.read().splitlines()
+    assert "OB TestOB 2026-08-19 Airmass 1.20-1.30" in lines
+    assert "FWHM 0.85 0.73 0.62" in lines
+
+
 def test_plot(tmp_path):
     import matplotlib
     matplotlib.use("agg", force=True)
