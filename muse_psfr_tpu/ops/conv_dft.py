@@ -153,6 +153,14 @@ def fused_conv_chain(planes, gtt_r, gtt_i, gi_r, gi_i, n_img: int,
     accumulation order aside).
     """
     from ..otf.convolve import _same_fft_size
+    if precision not in ("highest", "high"):
+        # same contract as fused_exp_zoom: _mxu_contract silently runs
+        # HIGHEST for anything but "high", so an unvalidated "default"
+        # would mean different numerics on the Pallas path than on the
+        # XLA path (which passes the string straight to jnp.matmul)
+        raise ValueError(f"unsupported conv precision {precision!r}; "
+                         "the fused conv chain supports 'highest' and "
+                         "'high'")
     nl = planes.shape[0]
     L = _same_fft_size(n_img, n_ker)
     off = (n_ker - 1) // 2

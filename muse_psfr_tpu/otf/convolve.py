@@ -223,11 +223,10 @@ def convolve_final(psf, lbda_nm, seeing, GL, L0, cfg: GalacsiConfig):
 
 
 def _batched_kernels(alphas, betas, size: int, dtype):
-    """(nl,) Moffat parameters -> (nl, size, size) kernels, vectorised."""
-    c = (size - 1) / 2.0
-    y = (np.arange(size) - c)[:, None]
-    x = (np.arange(size) - c)[None, :]
-    r2 = jnp.asarray(y * y + x * x, dtype)[None]
-    a = alphas[:, None, None].astype(dtype)
-    b = betas[:, None, None].astype(dtype)
-    return (b - 1.0) / (np.pi * a * a) * (1.0 + r2 / (a * a)) ** (-b)
+    """(nl,) Moffat parameters -> (nl, size, size) kernels, vectorised.
+
+    Delegates to :func:`core.moffat.moffat_kernel` so the
+    parity-critical amplitude/centring/no-renormalisation convention
+    (documented there) lives in exactly one place."""
+    return jax.vmap(lambda a, b: moffat_kernel(a, b, size, dtype)
+                    )(alphas.astype(dtype), betas.astype(dtype))

@@ -403,10 +403,21 @@ def lambda_crop_size(lbda_nm, cfg: GalacsiConfig):
     """Even crop size ``npixc(lbda)`` in px (reference psfrec.py:663-664).
 
     QUIRK: ``np.round`` is round-half-to-even (banker's rounding); the grid
-    of MUSE wavelengths lands on .5 boundaries for some ``nl``.
+    of MUSE wavelengths lands on .5 boundaries for some ``nl``.  Parity
+    therefore requires the quotient AND the rounding in float64 — a
+    float32 quotient can land on the wrong side of an exact-in-f64 .5
+    boundary, shifting ``npixc`` by 2 and every pixel of that plane's
+    regrid.  Concrete inputs compute on the host in float64; traced
+    inputs (inside jit, where TPU only has f32) keep the in-graph form —
+    the production entry points precompute ``npixc`` on the host and
+    pass it through (``parallel/batch.py::_plan_batch`` ->
+    ``psf_cube_from_base(npixc=...)``).
     """
-    raw = (cfg.dimpsf * cfg.pixscale * 2.0 * cfg.dpup * 4.85 * 1000.0
-           / lbda_nm)
+    scale = cfg.dimpsf * cfg.pixscale * 2.0 * cfg.dpup * 4.85 * 1000.0
+    if not isinstance(lbda_nm, jax.core.Tracer):
+        raw = scale / np.asarray(lbda_nm, np.float64)
+        return jnp.asarray((np.round(raw / 2.0) * 2.0).astype(np.int32))
+    raw = scale / lbda_nm
     return (jnp.round(raw / 2.0) * 2.0).astype(jnp.int32)
 
 
@@ -870,7 +881,18 @@ def psd_to_psf(psd, pup, D, lbda, phase_static=None, samp=None, FoV=None,
     """
     psd = jnp.asarray(psd, dtype)
     pup = jnp.asarray(pup, dtype)
-    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    if psd.dtype != jnp.dtype(dtype):
+        # x64 disabled (the TPU deployment): jnp silently resolved the
+        # requested float64 to float32.  Follow the resolved precision —
+        # complex128 here would only downcast again — but say so, since
+        # a library user calling this standalone expects f64-grade
+        # results (the batched pipeline passes float32 explicitly)
+        logger.warning(
+            "psd_to_psf: requested dtype %s resolved to %s (jax x64 is "
+            "disabled); results carry float32 accuracy (~1e-5)",
+            jnp.dtype(dtype).name, psd.dtype.name)
+    cdtype = (jnp.complex128 if psd.dtype == jnp.float64 else
+              jnp.complex64)
     dim = psd.shape[0]
     npup = pup.shape[0]
     sampnum = dim / npup
@@ -937,7 +959,7 @@ def psf_cube(psd, lbda_nm, cfg: GalacsiConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig):
+def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig, npixc=None):
     """PSF cube from the wavelength-free structure function ``base``
     (from :func:`dphi_base` or :func:`dphi_base_split` under the SAME
     config).  Its shape is the config's fold/support window: ``(ndir,
@@ -946,11 +968,18 @@ def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig):
     fold keeps only 128 columns past the centre ``c = dim//2``) — or
     ``(ndir, dim, dim)`` when ``cfg.otf_window is None``; a mismatch
     raises ``ValueError``.
+
+    ``npixc``: optional precomputed per-wavelength crop sizes (int32,
+    same length as ``lbda_nm``).  Pass the host-side float64 result of
+    :func:`lambda_crop_size` when ``lbda_nm`` is traced — the in-graph
+    f32 fallback can round a .5-boundary crop the other way (see the
+    QUIRK note there).
     """
     dtype = jnp.dtype(cfg.dtype)
     dim = cfg.dim
     dl = pupil_otf(cfg)                             # (dim, dim)
-    npixc = lambda_crop_size(lbda_nm.astype(dtype), cfg)  # (nl,) int32
+    if npixc is None:
+        npixc = lambda_crop_size(lbda_nm, cfg)      # (nl,) int32
 
     win = cfg.otf_window
     expect = (dim, dim) if win is None else (2 * win[1], win[1] + 128)
@@ -965,7 +994,7 @@ def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig):
                          "zoom-DFT resampling path (use_zoom_dft=True)")
     pallas_ok = (cfg.use_pallas and cfg.use_zoom_dft
                  and cfg.dtype == "float32" and cfg.dim % 128 == 0
-                 and jax.default_backend() not in ("cpu",))
+                 and jax.default_backend() == "tpu")
 
     def one_lambda(args):
         lb, npix = args

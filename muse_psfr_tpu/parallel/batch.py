@@ -64,7 +64,8 @@ def _window_guard(base, lbda, cfg: GalacsiConfig):
 
 
 def reconstruct_one(seeing, GL, L0, gs_mask, lbda, h, wind_speed,
-                    npsflin: int, cfg: GalacsiConfig, return_guard=False):
+                    npsflin: int, cfg: GalacsiConfig, return_guard=False,
+                    npixc=None):
     """Single work item: telemetry -> final PSF cube (nl, dimpsf, dimpsf).
 
     With ``cfg.use_dphi_split`` the full-grid PSD is never materialised:
@@ -84,7 +85,7 @@ def reconstruct_one(seeing, GL, L0, gs_mask, lbda, h, wind_speed,
         psd = simulate_psd(seeing, GL, L0, gs_mask, h, wind_speed, npsflin,
                            cfg)
         base = dphi_base(psd.astype(cfg.dtype), cfg)
-    psf = psf_cube_from_base(base, lbda, cfg)
+    psf = psf_cube_from_base(base, lbda, cfg, npixc=npixc)
     out = convolve_final(psf, lbda, seeing, GL, L0, cfg)
     if return_guard:
         return out, _window_guard(base, lbda, cfg)
@@ -92,17 +93,18 @@ def reconstruct_one(seeing, GL, L0, gs_mask, lbda, h, wind_speed,
 
 
 @partial(jax.jit, static_argnames=("h", "wind_speed", "npsflin", "cfg"))
-def _reconstruct_vmapped(seeing, GL, L0, gs_mask, lbda, h, wind_speed,
-                         npsflin, cfg):
+def _reconstruct_vmapped(seeing, GL, L0, gs_mask, lbda, npixc, h,
+                         wind_speed, npsflin, cfg):
     psf, guard = jax.vmap(
         lambda s, g, l, m: reconstruct_one(s, g, l, m, lbda, h, wind_speed,
-                                           npsflin, cfg, return_guard=True)
+                                           npsflin, cfg, return_guard=True,
+                                           npixc=npixc)
     )(seeing, GL, L0, gs_mask)
     return psf, jnp.min(guard)
 
 
 @partial(jax.jit, static_argnames=("h", "wind_speed", "npsflin", "cfg"))
-def _reconstruct_chunk(t, lbda, h, wind_speed, npsflin, cfg):
+def _reconstruct_chunk(t, lbda, npixc, h, wind_speed, npsflin, cfg):
     """One (chunk, 7) telemetry slice laid out [seeing, GL, L0, gs_mask(4)]
     -> (PSF cubes, window-guard margin).  The slice shape is the
     compilation key: callers must slice the device-resident table
@@ -111,14 +113,15 @@ def _reconstruct_chunk(t, lbda, h, wind_speed, npsflin, cfg):
     psf, guard = jax.vmap(
         lambda row: reconstruct_one(row[0], row[1], row[2], row[3:7],
                                     lbda, h, wind_speed, npsflin, cfg,
-                                    return_guard=True)
+                                    return_guard=True, npixc=npixc)
     )(t)
     return psf, jnp.min(guard)
 
 
 @partial(jax.jit, static_argnames=("h", "wind_speed", "npsflin", "cfg",
                                    "fit_dtype"))
-def _fit_chunk(t, n_valid, lbda, h, wind_speed, npsflin, cfg, fit_dtype):
+def _fit_chunk(t, n_valid, lbda, npixc, h, wind_speed, npsflin, cfg,
+               fit_dtype):
     """Fused chunk step for fit-oriented batches: reconstruction + packed
     Moffat fit + pad-masked PSF sum + window guard in ONE dispatch.
 
@@ -133,7 +136,7 @@ def _fit_chunk(t, n_valid, lbda, h, wind_speed, npsflin, cfg, fit_dtype):
     psf, guard = jax.vmap(
         lambda row: reconstruct_one(row[0], row[1], row[2], row[3:7],
                                     lbda, h, wind_speed, npsflin, cfg,
-                                    return_guard=True)
+                                    return_guard=True, npixc=npixc)
     )(t)
     fit = fit_moffat_cube_packed(psf, dtype=fit_dtype)
     w = (jnp.arange(t.shape[0]) < n_valid).astype(psf.dtype)
@@ -143,13 +146,14 @@ def _fit_chunk(t, n_valid, lbda, h, wind_speed, npsflin, cfg, fit_dtype):
 
 @partial(jax.jit, static_argnames=("h", "wind_speed", "npsflin", "cfg",
                                    "fit_dtype"))
-def _fit_vmapped(seeing, GL, L0, gs_mask, n_valid, lbda, h, wind_speed,
-                 npsflin, cfg, fit_dtype):
+def _fit_vmapped(seeing, GL, L0, gs_mask, n_valid, lbda, npixc, h,
+                 wind_speed, npsflin, cfg, fit_dtype):
     """Mesh-sharded variant of :func:`_fit_chunk`."""
     from ..fit.moffat_fit import fit_moffat_cube_packed
     psf, guard = jax.vmap(
         lambda s, g, l, m: reconstruct_one(s, g, l, m, lbda, h, wind_speed,
-                                           npsflin, cfg, return_guard=True)
+                                           npsflin, cfg, return_guard=True,
+                                           npixc=npixc)
     )(seeing, GL, L0, gs_mask)
     fit = fit_moffat_cube_packed(psf, dtype=fit_dtype)
     w = (jnp.arange(seeing.shape[0]) < n_valid).astype(psf.dtype)
@@ -295,7 +299,7 @@ def _compile_concurrently(jobs, width=None):
 _WARM_MEMO = set()
 
 
-def _warm_programs(specs, kind, lbda_j, h_t, wind_speed, npsflin,
+def _warm_programs(specs, kind, lbda_j, npixc_j, h_t, wind_speed, npsflin,
                    fit_dtype=None, mean_spec=None):
     """Compile the chunk executables a night will dispatch, in parallel.
 
@@ -336,11 +340,11 @@ def _warm_programs(specs, kind, lbda_j, h_t, wind_speed, npsflin,
         def _thunk(gcfg=gcfg, size=size, tab=tab, key=key):
             t = jnp.asarray(tab[:size], gcfg.dtype)
             if kind == "fit":
-                _fit_chunk(t, jnp.asarray(np.int32(size)), lbda_j, h_t,
-                           wind_speed, npsflin, gcfg, fit_dtype)
+                _fit_chunk(t, jnp.asarray(np.int32(size)), lbda_j, npixc_j,
+                           h_t, wind_speed, npsflin, gcfg, fit_dtype)
             else:
-                _reconstruct_chunk(t, lbda_j, h_t, wind_speed, npsflin,
-                                   gcfg)
+                _reconstruct_chunk(t, lbda_j, npixc_j, h_t, wind_speed,
+                                   npsflin, gcfg)
             _WARM_MEMO.add(key)
 
         jobs.append((_thunk, size))
@@ -618,6 +622,11 @@ def _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg, chunk,
             f"larger than the {cfg.dim}^2 PSD grid; raise cfg.dim or the "
             f"minimum wavelength")
     h_t = tuple(float(x) for x in np.asarray(h, dtype=np.float64).ravel())
+    # per-wavelength crop sizes in host float64: the banker's-rounding
+    # .5 boundaries must be decided exactly (otf/psf.py:lambda_crop_size
+    # QUIRK) — the in-graph f32 quotient can land on the wrong side
+    from ..otf.psf import lambda_crop_size
+    npixc = lambda_crop_size(lb_np, cfg)
     lbda = jnp.asarray(lbda, cfg.dtype)
     seeing = np.atleast_1d(np.asarray(seeing, dtype=np.float64))
     GL = np.atleast_1d(np.asarray(GL, dtype=np.float64))
@@ -694,7 +703,8 @@ def _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg, chunk,
 
     table = np.concatenate(
         [seeing[:, None], GL[:, None], L0[:, None], gs_mask], axis=1)
-    return cfg, groups, chunk, table, lbda, h_t, wind_speed, sharding
+    return (cfg, groups, chunk, table, lbda, h_t, wind_speed, sharding,
+            npixc)
 
 
 def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
@@ -716,9 +726,9 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     All chunks are dispatched with identical shapes (one compilation per
     bucket).
     """
-    cfg, groups, chunk, table, lbda, h_t, wind_speed, sharding = \
-        _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
-                    chunk, mesh, force_full)
+    (cfg, groups, chunk, table, lbda, h_t, wind_speed, sharding,
+     npixc) = _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
+                          chunk, mesh, force_full)
     mesh = None if sharding is None else sharding.mesh
 
     if sharding is None and not force_full:
@@ -732,7 +742,8 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                     [gt, np.repeat(gt[-1:], chunk - gt.shape[0], axis=0)],
                     axis=0)
             specs.setdefault((gcfg, chunk), gt)
-        _warm_programs(specs, "recon", lbda, h_t, wind_speed, npsflin)
+        _warm_programs(specs, "recon", lbda, npixc, h_t, wind_speed,
+                       npsflin)
 
     for gcfg, gidx in groups:
         # ONE host->device push per bucket of its telemetry rows (the
@@ -759,7 +770,7 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                 t = jax.lax.dynamic_slice_in_dim(
                     table_d, jnp.asarray(lo, jnp.int32), chunk, axis=0)
                 try:
-                    res, guard = _reconstruct_chunk(t, lbda, h_t,
+                    res, guard = _reconstruct_chunk(t, lbda, npixc, h_t,
                                                     wind_speed, npsflin,
                                                     gcfg)
                 except Exception as err:  # noqa: BLE001
@@ -782,7 +793,7 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
         for i in range(n_chunks):
             t = jax.device_put(table_d[i], sharding)  # no-op reshard
             res, guard = _reconstruct_vmapped(t[:, 0], t[:, 1], t[:, 2],
-                                              t[:, 3:7], lbda, h_t,
+                                              t[:, 3:7], lbda, npixc, h_t,
                                               wind_speed, npsflin, gcfg)
             yield gidx[i * chunk:(i + 1) * chunk], res, guard
 
@@ -939,7 +950,8 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     gs_mask = np.atleast_2d(np.asarray(gs_mask, np.float64))
 
     with stage_timer("batch.plan"):
-        cfg_r, groups, chunk_n, table, lbda_j, h_t, wind_speed, sharding = \
+        (cfg_r, groups, chunk_n, table, lbda_j, h_t, wind_speed, sharding,
+         npixc_j) = \
             _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
                         chunk, mesh, _force_full)
 
@@ -1075,7 +1087,8 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                 specs.setdefault((gcfg, s), gt)
         with stage_timer("batch.warm"):
             _warm_programs(
-                specs, "fit", lbda_j, h_t, wind_speed, npsflin, fit_dtype,
+                specs, "fit", lbda_j, npixc_j, h_t, wind_speed, npsflin,
+                fit_dtype,
                 mean_spec=((lbda_j.shape[0], cfg_r.dimpsf, cfg_r.dimpsf),
                            cfg_r.dtype))
 
@@ -1096,7 +1109,7 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                     table_d, meta_d[0, i], sizes[i], axis=0)
                 try:
                     fit, psum, guard = _fit_chunk(
-                        t, meta_d[1, i], lbda_j, h_t, wind_speed,
+                        t, meta_d[1, i], lbda_j, npixc_j, h_t, wind_speed,
                         npsflin, gcfg, fit_dtype)
                 except Exception as err:  # noqa: BLE001
                     _chunk_compile_hint(err, sizes[i])
@@ -1126,8 +1139,8 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                 try:
                     fit, psum, guard = _fit_vmapped(
                         t[:, 0], t[:, 1], t[:, 2], t[:, 3:7],
-                        meta_d[1, i], lbda_j, h_t, wind_speed, npsflin,
-                        gcfg, fit_dtype)
+                        meta_d[1, i], lbda_j, npixc_j, h_t, wind_speed,
+                        npsflin, gcfg, fit_dtype)
                 except Exception as err:  # noqa: BLE001
                     _chunk_compile_hint(err, chunk_n)
                 n = int(nvals[i])

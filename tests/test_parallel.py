@@ -66,7 +66,8 @@ def test_production_shape_lowers_under_mesh():
     low = _reconstruct_vmapped.lower(
         sds((B,), f32, sharding=sh), sds((B,), f32, sharding=sh),
         sds((B,), f32, sharding=sh), sds((B, 4), f32, sharding=sh),
-        sds((35,), f32), (100.0, 10000.0), 12.0, 1, cfg)
+        sds((35,), f32), sds((35,), np.int32), (100.0, 10000.0), 12.0, 1,
+        cfg)
     header = low.as_text().split("\n", 1)[0]
     assert "mhlo.num_partitions = 8" in header
 
@@ -278,21 +279,22 @@ def test_warm_populates_jit_cache():
 
     cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
     lbda = np.linspace(600, 900, 3)
-    cfg_r, groups, chunk_n, table, lbda_j, h_t, wind_speed, _ = _plan_batch(
+    (cfg_r, groups, chunk_n, table, lbda_j, h_t, wind_speed, _,
+     npixc_j) = _plan_batch(
         np.array([1.0, 1.1]), np.array([0.7, 0.6]), np.array([25.0, 20.0]),
         np.ones((2, 4)), lbda, (100, 10000), 1, cfg, 2, None, False)
     assert len(groups) == 1
     gcfg = groups[0][0]
 
     _warm_programs({(gcfg, 2): table, (gcfg, 1): table}, "fit",
-                   lbda_j, h_t, wind_speed, 1, "float64")
+                   lbda_j, npixc_j, h_t, wind_speed, 1, "float64")
     n0 = _fit_chunk._cache_size()
     assert n0 >= 2
     for size in (2, 1):
         t = jnp.asarray(table[:size], gcfg.dtype)
         fit, psum, guard = _fit_chunk(t, jnp.asarray(np.int32(size)),
-                                      lbda_j, h_t, wind_speed, 1, gcfg,
-                                      "float64")
+                                      lbda_j, npixc_j, h_t, wind_speed, 1,
+                                      gcfg, "float64")
         assert np.isfinite(np.asarray(fit)).all()
     assert _fit_chunk._cache_size() == n0, \
         "dispatch after warm-up recompiled: cache key mismatch"
@@ -444,7 +446,8 @@ def test_warm_populates_recon_jit_cache():
     # 5 wavelengths: a lambda grid unique to this test so the process
     # warm memo and jit cache are cold for its keys
     lbda = np.linspace(600, 900, 5)
-    cfg_r, groups, chunk_n, table, lbda_j, h_t, wind_speed, _ = _plan_batch(
+    (cfg_r, groups, chunk_n, table, lbda_j, h_t, wind_speed, _,
+     npixc_j) = _plan_batch(
         np.array([1.0, 1.1, 0.9]), np.array([0.7, 0.6, 0.8]),
         np.array([25.0, 20.0, 15.0]), np.ones((3, 4)), lbda,
         (100, 10000), 1, cfg, 3, None, False)
@@ -452,7 +455,7 @@ def test_warm_populates_recon_jit_cache():
     gcfg = groups[0][0]
 
     _warm_programs({(gcfg, 3): table, (gcfg, 2): table}, "recon",
-                   lbda_j, h_t, wind_speed, 1)
+                   lbda_j, npixc_j, h_t, wind_speed, 1)
     n0 = _reconstruct_chunk._cache_size()
     assert n0 >= 2
     table_d = jnp.asarray(table, gcfg.dtype)
@@ -461,8 +464,8 @@ def test_warm_populates_recon_jit_cache():
         # traced-offset dynamic slice of the device-resident table
         t = jax.lax.dynamic_slice_in_dim(
             table_d, jnp.asarray(0, jnp.int32), size, axis=0)
-        res, guard = _reconstruct_chunk(t, lbda_j, h_t, wind_speed, 1,
-                                        gcfg)
+        res, guard = _reconstruct_chunk(t, lbda_j, npixc_j, h_t,
+                                        wind_speed, 1, gcfg)
         assert np.isfinite(np.asarray(res)).all()
     assert _reconstruct_chunk._cache_size() == n0, \
         "recon dispatch after warm-up recompiled: cache key mismatch"

@@ -61,6 +61,32 @@ def test_lambda_crop_uses_bankers_rounding():
     assert_allclose(got, ref)
 
 
+def test_lambda_crop_half_boundary_decided_in_float64():
+    """The .5-boundary crop decision must be made in float64: for
+    lbda = linspace(500, 900, 37), plane 19 (711.111... nm) has
+    raw/2 == 436.5 EXACTLY in f64 (banker's rounding -> npixc 872),
+    while the f32 quotient lands at 436.50003 and would round to 874 —
+    shifting every pixel of that plane's regrid ~0.23% off the
+    reference.  Concrete inputs therefore compute on the host in f64;
+    the batch layer precomputes npixc there and threads it through the
+    jit (parallel/batch.py::_plan_batch)."""
+    cfg = GalacsiConfig()
+    lbda = np.linspace(500, 900, 37)
+    got = np.asarray(lambda_crop_size(lbda, cfg))
+    assert got[19] == 872
+    # pin that the f32 quotient really falls on the other side — the
+    # hazard this test guards against
+    scale = np.float32(40 * 0.2 * 2 * 8 * 4.85 * 1000)
+    raw32 = scale / np.float32(lbda[19])
+    assert int(np.round(np.float32(raw32) / np.float32(2.0))) * 2 == 874
+    # and that the production batch plan carries the f64 values
+    from muse_psfr_tpu.parallel.batch import _plan_batch
+    npixc = _plan_batch(np.array([1.0]), np.array([0.7]),
+                        np.array([25.0]), np.ones((1, 4)), lbda,
+                        (100, 10000), 1, cfg, 1, None)[8]
+    assert_allclose(np.asarray(npixc), got)
+
+
 def test_pupil_mask_against_reference_expression():
     for radius, width, oc, inv in [(320, 640, 0.14, False), (5, 80, 0, True)]:
         got = np.asarray(pupil_mask(radius, width, oc, inv, jnp.float64))
