@@ -21,6 +21,30 @@ from .utils.log import get_logger
 
 logger = get_logger("api")
 
+
+def _atomic_write_npy(path, arr):
+    """Crash-atomic ``np.save``: a SIGKILL mid-write must never leave a
+    truncated checkpoint (resume would crash at ``np.load`` and ALL
+    completed work would be unrecoverable)."""
+    import os
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.save(fh, arr)
+    os.replace(tmp, path)
+
+
+def _atomic_write_json(path, obj):
+    """Crash-atomic sidecar write: a torn sidecar is silently treated
+    as missing, sending resume down the NaN fallback that trusts
+    guard-unvalidated values — the hazard the sidecar exists to
+    prevent."""
+    import json
+    import os
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+    os.replace(tmp, path)
+
 MIN_L0 = 8    # minimum valid outer scale [m] (psfrec.py:30)
 MAX_L0 = 30   # maximum valid outer scale [m] (psfrec.py:31)
 
@@ -122,10 +146,16 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
     ``compute_psf``, one process per row).
 
     ``checkpoint``: optional ``.npy`` path — the packed fits completed so
-    far are (re)written after every chunk (plus a ``<path>.meta.json``
-    sidecar recording the sweep's parameters and the completed grid
-    points), so a long sweep interrupted mid-run loses at most one
-    chunk of work.  With ``resume=True``, an existing checkpoint whose
+    far are (re)written crash-atomically after every chunk (plus a
+    ``<path>.meta.json`` sidecar recording the sweep's parameters and
+    the grid points whose values are FINAL).  Completion granularity
+    follows the window guard: chunks of guard-free groups (full-window /
+    exact-transform) are final at delivery, so a crash loses at most one
+    such chunk; reduced-window chunks are only provably final when the
+    guard vector arrives with the batch's final pull, so a crash
+    mid-batch recomputes them on resume (their provisional values are
+    stored but never trusted as done).  With ``resume=True``, an
+    existing checkpoint whose
     sidecar matches THIS sweep's parameters (grids, wavelengths, h,
     npsflin, config, laser mode) is loaded first and only the grid
     points not recorded done are recomputed; a checkpoint with a
@@ -222,9 +252,9 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
             buf["done"].difference_update(int(r) for r in rows)
             if "a" in buf:
                 buf["a"][rows] = np.nan
-                np.save(checkpoint, buf["a"])
-            with open(sidecar, "w") as fh:
-                json.dump({**meta, "done": sorted(buf["done"])}, fh)
+                _atomic_write_npy(checkpoint, buf["a"])
+            _atomic_write_json(sidecar,
+                               {**meta, "done": sorted(buf["done"])})
 
         def on_chunk(indices, packed_np):  # noqa: F811
             # chunks arrive bucket-ordered, not grid-ordered: keep rows
@@ -243,9 +273,9 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
             # a crash after a sidecar-less np.save would send resume
             # down the NaN-based fallback, which trusts these
             # provisional (guard-unvalidated) values
-            with open(sidecar, "w") as fh:
-                json.dump({**meta, "done": sorted(buf["done"])}, fh)
-            np.save(checkpoint, buf["a"])
+            _atomic_write_json(sidecar,
+                               {**meta, "done": sorted(buf["done"])})
+            _atomic_write_npy(checkpoint, buf["a"])
 
         def on_final(indices):  # noqa: F811
             # rows provably past the window guard (untripped chunks, or
@@ -253,8 +283,8 @@ def condition_sweep(seeing_vals, gl_vals, l0_vals, lbda=None, lmin=490,
             # sidecar (NOT by NaN content: a degenerate plane's
             # legitimate fit stores NaN error bars).
             buf["done"].update(int(r) for r in todo[indices])
-            with open(sidecar, "w") as fh:
-                json.dump({**meta, "done": sorted(buf["done"])}, fh)
+            _atomic_write_json(sidecar,
+                               {**meta, "done": sorted(buf["done"])})
 
     if todo.size:
         with maybe_trace("condition_sweep"), stage_timer("condition_sweep"):

@@ -307,12 +307,24 @@ class GalacsiConfig:
 
     @property
     def pitch(self) -> float:
-        """Inter-actuator distance [m]."""
+        """DM inter-actuator distance [m] (psfrec.py:132) — sets the
+        fitting-PSD cutoff ``fc``.  The WFS transfer functions use
+        :attr:`wfs_pitch` (the reference keeps the two separate:
+        psfrec.py:578 vs :582; its reconstructor's ``pitchs_dm``
+        parameter is dead)."""
         return self.dpup / self.nact
 
     @property
+    def wfs_pitch(self) -> float:
+        """WFS subaperture pitch ``dpup/nsspup`` [m] (psfrec.py:578) —
+        drives the WFS transfer-function sinc response and cutoffs.
+        Equal to :attr:`pitch` in the GALACSI default (nsspup == nact ==
+        24, psfrec.py:77-78)."""
+        return self.dpup / self.nsspup
+
+    @property
     def fc(self) -> float:
-        """AO cutoff frequency 1/(2*pitch) [1/m]."""
+        """AO fitting cutoff frequency 1/(2*pitch) [1/m]."""
         return 1.0 / (2.0 * self.pitch)
 
     @property

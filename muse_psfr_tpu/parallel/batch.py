@@ -614,6 +614,8 @@ def _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg, chunk,
     # wavelength sets the largest crop (reference psfrec.py:663-664 slices
     # out of bounds there, failing with a confusing shape error)
     lb_np = np.atleast_1d(np.asarray(lbda, dtype=np.float64))
+    if lb_np.size == 0:
+        raise ValueError("empty wavelength array")
     npixc_max = int(np.round((cfg.dimpsf * cfg.pixscale * 2.0 * cfg.dpup
                               * 4.85 * 1000.0 / lb_np.min()) / 2.0) * 2.0)
     if npixc_max > cfg.dim:
@@ -627,13 +629,18 @@ def _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg, chunk,
     # QUIRK) — the in-graph f32 quotient can land on the wrong side
     from ..otf.psf import lambda_crop_size
     npixc = lambda_crop_size(lb_np, cfg)
-    lbda = jnp.asarray(lbda, cfg.dtype)
+    # from the normalised 1-D host copy: a scalar lbda otherwise becomes
+    # a 0-d device array and crashes deep in the pipeline
+    lbda = jnp.asarray(lb_np, cfg.dtype)
     seeing = np.atleast_1d(np.asarray(seeing, dtype=np.float64))
     GL = np.atleast_1d(np.asarray(GL, dtype=np.float64))
     L0 = np.atleast_1d(np.asarray(L0, dtype=np.float64))
 
     gs_mask = np.atleast_2d(np.asarray(gs_mask, dtype=np.float64))
     B = seeing.shape[0]
+    if B == 0:
+        raise ValueError("empty batch: no telemetry rows to reconstruct "
+                         "(seeing/GL/L0 arrays have length 0)")
 
     # rows outside the certified split range (L0 < dphi_split_l0_min or
     # non-finite) get their own exact-transform group instead of
@@ -792,9 +799,13 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
             NamedSharding(mesh, P(None, "rows")))
         for i in range(n_chunks):
             t = jax.device_put(table_d[i], sharding)  # no-op reshard
-            res, guard = _reconstruct_vmapped(t[:, 0], t[:, 1], t[:, 2],
-                                              t[:, 3:7], lbda, npixc, h_t,
-                                              wind_speed, npsflin, gcfg)
+            try:
+                res, guard = _reconstruct_vmapped(t[:, 0], t[:, 1], t[:, 2],
+                                                  t[:, 3:7], lbda, npixc,
+                                                  h_t, wind_speed, npsflin,
+                                                  gcfg)
+            except Exception as err:  # noqa: BLE001
+                _chunk_compile_hint(err, chunk)
             yield gidx[i * chunk:(i + 1) * chunk], res, guard
 
 
@@ -1037,10 +1048,13 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     # bench night at chunk=100 pads 23 windowed rows instead of 98.
     # FULL-WINDOW groups always pad to the full chunk: the guard-redo
     # path recomputes tripped rows with the full-window (chunk_n, 7)
-    # executable, so that shape must exist whenever a full-window group
-    # dispatched at all — a redo must never trigger a multi-minute
-    # compile (and the full-bucket tail measured no night-level benefit,
-    # RESULTS.md).  Also disabled on the guard-redo path itself and on
+    # executable, so whenever a full-window group dispatched at all that
+    # shape already exists and a redo never compiles (and the
+    # full-bucket tail measured no night-level benefit, RESULTS.md).
+    # All-windowed nights have no such group; the warm-up below includes
+    # the redo executable for them, and on lazy (non-warming)
+    # deployments a guard trip there pays one mid-night compile — rare
+    # by the estimator's 3-decade margin.  Also disabled on
     # the mesh path (chunks are rounded to mesh multiples there).
     # A/B knob: MUSE_PSFR_NO_TAIL=1.
     use_tail = (not _force_full
@@ -1079,12 +1093,29 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     if sharding is None and not _force_full:
         # compile every executable the dispatch loop will need,
         # CONCURRENTLY, before the first dispatch (the redo path reuses
-        # the main night's full-window executable by construction and
-        # must never compile, so it skips the warm-up)
+        # the main night's full-window executable — warmed explicitly
+        # below when no full-window group exists — so it skips the
+        # warm-up itself)
         specs = {}
         for gcfg, _, gt, sizes, _, _ in plans:
             for s in sizes:
                 specs.setdefault((gcfg, s), gt)
+        if any(gcfg.otf_support for gcfg, *_ in plans):
+            # the guard-redo executable (full window, chunk_n rows —
+            # exactly what the redo call below will dispatch): when every
+            # row was admitted to a reduced window it exists in no plan,
+            # and a guard trip would compile it MID-NIGHT.  setdefault
+            # dedups against a real full-window group when one exists.
+            # (This path only runs when warming is enabled; on lazy
+            # deployments a trip pays the compile.)
+            g0 = (cfg_r.with_(otf_support=0) if cfg_r.otf_support
+                  else cfg_r)
+            gt0 = next(gt for gcfg, _, gt, *_ in plans if gcfg.otf_support)
+            if gt0.shape[0] < chunk_n:   # tail-only group: pad to the
+                gt0 = np.concatenate(    # redo's (chunk_n, 7) shape
+                    [gt0, np.repeat(gt0[-1:], chunk_n - gt0.shape[0],
+                                    axis=0)], axis=0)
+            specs.setdefault((g0, chunk_n), gt0)
         with stage_timer("batch.warm"):
             _warm_programs(
                 specs, "fit", lbda_j, npixc_j, h_t, wind_speed, npsflin,

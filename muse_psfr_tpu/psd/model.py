@@ -190,7 +190,7 @@ def _glao_static_transfer(h, wind_speed, npsflin, cfg: GalacsiConfig):
     """
     key = (h, wind_speed, npsflin, cfg.dimall, cfg.dpup, cfg.dim_pup,
            cfg.sep_lgs, cfg.noise_lgs2, cfg.fsamp, cfg.delay_ms,
-           cfg.alt_dm, cfg.pitch, cfg.wind_dir_0, cfg.wind_dir_1)
+           cfg.alt_dm, cfg.wfs_pitch, cfg.wind_dir_0, cfg.wind_dir_1)
     if key in _STATIC_TRANSFER_CACHE:
         return _STATIC_TRANSFER_CACHE[key]
 
@@ -230,7 +230,9 @@ def _glao_static_transfer(h, wind_speed, npsflin, cfg: GalacsiConfig):
 
         ph = (f_x[None] * pos[0, :, None, None] +
               f_y[None] * pos[1, :, None, None]) * c      # (g, s, s)
-        w_rec = wfs_np(cfg.pitch, strict=False)
+        # WFS pitch (dpup/nsspup, psfrec.py:578) — NOT the DM pitch:
+        # the two differ when nsspup != nact
+        w_rec = wfs_np(cfg.wfs_pitch, strict=False)
         M = w_rec[None] * np.exp(2j * np.pi * cfg.alt_dm * ph)
         num = M.conj() / sig[:, None, None]
         den = np.sum((M * num).real, axis=0)
@@ -238,7 +240,7 @@ def _glao_static_transfer(h, wind_speed, npsflin, cfg: GalacsiConfig):
         inv[0, 0] = 0.0
         W = num * inv[None]                               # (g, s, s)
 
-        w_res = wfs_np(cfg.pitch, strict=True)
+        w_res = wfs_np(cfg.wfs_pitch, strict=True)
         lag = np.sinc(wind[0, :, None, None, None] * ti[None, :, None, None]
                       * f_x +
                       wind[1, :, None, None, None] * ti[None, :, None, None]

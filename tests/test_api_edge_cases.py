@@ -156,6 +156,36 @@ def test_sweep_resume_recomputes_only_missing_rows(tmp_path, monkeypatch,
     assert any("incompatible" in r.message for r in caplog.records)
 
 
+def test_scalar_inputs_accepted():
+    """Scalar telemetry AND a scalar wavelength must work: lbda used to
+    reach the pipeline as a 0-d device array and crash with an obscure
+    IndexError deep in psf_cube_from_base."""
+    from muse_psfr_tpu.parallel.batch import reconstruct_batch
+    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
+    out = reconstruct_batch(1.0, 0.7, 25.0, [[1, 1, 1, 1]], 650.0, cfg=cfg)
+    assert out.shape == (1, 1, cfg.dimpsf, cfg.dimpsf)
+    assert np.isfinite(out).all()
+
+
+def test_empty_batch_raises_clearly():
+    """B=0 must fail with a clear validation error, not the obscure
+    'Need at least one array to stack' from the mean reduction (and
+    reconstruct_batch must not silently return None)."""
+    import pytest
+    from muse_psfr_tpu.parallel.batch import process_batch, \
+        reconstruct_batch
+    cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
+    with pytest.raises(ValueError, match="empty batch"):
+        process_batch(np.array([]), np.array([]), np.array([]),
+                      np.zeros((0, 4)), [650.0], cfg=cfg)
+    with pytest.raises(ValueError, match="empty batch"):
+        reconstruct_batch(np.array([]), np.array([]), np.array([]),
+                          np.zeros((0, 4)), [650.0], cfg=cfg)
+    with pytest.raises(ValueError, match="empty wavelength"):
+        process_batch([1.0], [0.7], [25.0], [[1, 1, 1, 1]],
+                      np.array([]), cfg=cfg)
+
+
 def test_extreme_conditions_do_not_poison_batch():
     """A garbage row in a batch must not affect the other rows."""
     cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
@@ -329,15 +359,17 @@ def test_sidecar_on_disk_before_first_npy_write(tmp_path, monkeypatch):
     cfg = TINY_CONFIG.with_(dtype="float64", fit_dtype="float64")
     ckpt = str(tmp_path / "order_ckpt.npy")
     side = ckpt + ".meta.json"
-    orig_save = np.save
+    orig_replace = os.replace
     sidecar_present = []
 
-    def spy_save(path, arr, *a, **k):
-        if str(path) == ckpt:
+    def spy_replace(src, dst, *a, **k):
+        # the checkpoint lands via the atomic tmp -> os.replace rename;
+        # at that instant the sidecar must already exist on disk
+        if str(dst) == ckpt:
             sidecar_present.append(os.path.exists(side))
-        return orig_save(path, arr, *a, **k)
+        return orig_replace(src, dst, *a, **k)
 
-    monkeypatch.setattr(np, "save", spy_save)
+    monkeypatch.setattr(os, "replace", spy_replace)
     condition_sweep([0.8, 1.0, 1.2], [0.7], [25.0], lbda=[800.0],
                     cfg=cfg, chunk=2, checkpoint=ckpt)
     assert sidecar_present and all(sidecar_present)

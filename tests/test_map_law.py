@@ -91,3 +91,21 @@ def test_map_full_pipeline_float32():
     b = reconstruct_batch([1.0], [0.7], [25.0], np.ones((1, 4)), lbda,
                           cfg=CFG64.with_(fit_dtype="float64"), **kw)
     assert np.abs(a - b).max() < 1e-5
+
+
+def test_wfs_pitch_uses_nsspup():
+    """The WFS transfer functions use Dpup/nsspup (reference
+    psfrec.py:578), NOT the DM pitch Dpup/nact (which only sets the
+    fitting cutoff ``fc``; the reference reconstructor's ``pitchs_dm``
+    parameter is dead).  Regression: ``cfg.nsspup`` was silently
+    ignored, so nsspup != nact configs diverged from the reference."""
+    cfg = CFG64.with_(nsspup=48.0)
+    ws = effective_wind_speed(H, cfg)
+    mask = jnp.ones(4, jnp.float64)
+    got = np.asarray(simulate_psd(1.0, 0.7, 25.0, mask, H, ws, 1, cfg))
+    want = _map_want(cfg, 1.0, 0.7, 25.0)
+    assert np.abs(got - want).max() / want.max() < 1e-12
+    # and the knob must actually bite (it used to be a silent no-op)
+    got_def = np.asarray(simulate_psd(1.0, 0.7, 25.0, mask, H, ws, 1,
+                                      CFG64))
+    assert np.abs(got - got_def).max() > 0.0

@@ -446,6 +446,31 @@ def test_bucketed_mesh_matches_single_device():
     assert_allclose(a, b, rtol=0, atol=1e-6)
 
 
+def test_warm_specs_include_redo_executable(monkeypatch):
+    """An all-windowed night has no full-window group, but the
+    guard-redo path dispatches the full-window (chunk_n, 7) executable —
+    the warm-up must include it so a guard trip never compiles
+    mid-night on warming deployments."""
+    import muse_psfr_tpu.parallel.batch as B
+
+    captured = {}
+
+    def spy(specs, kind, *a, **k):
+        captured[kind] = dict(specs)   # capture; skip the real compiles
+
+    monkeypatch.setattr(B, "_warm_programs", spy)
+    # both rows admit the reduced window (cf. the bucketing test above)
+    B.process_batch(np.array([1.0, 1.3]), np.array([0.7, 0.5]),
+                    np.array([25.0, 18.0]), np.ones((2, 4)),
+                    np.array([930.0]), cfg=CFG, chunk=2)
+    specs = captured["fit"]
+    assert any(gc.otf_support for gc, s in specs)     # the night's program
+    full = [(gc, s) for gc, s in specs if not gc.otf_support]
+    assert full, "redo (full-window) executable missing from warm specs"
+    assert full[0][1] == 2                            # at chunk_n
+    assert specs[full[0]].shape[0] >= 2               # real telemetry rows
+
+
 def test_on_final_eager_for_guard_free_chunks():
     """Chunks of guard-free groups (full-window: the guard is
     structurally +inf, no redo possible) are final at delivery — their
