@@ -63,6 +63,8 @@ def main():
                           default_support_bucket(cfg), npsflin=NPSFLIN)
     ws = effective_wind_speed(H, cfg)
     lb = jnp.asarray(lbda, cfg.dtype)
+    from muse_psfr_tpu.otf.psf import lambda_crop_size
+    npixc = lambda_crop_size(np.asarray(lbda, np.float64), cfg)
     nv = jnp.asarray(CHUNK, jnp.int32)
     table = np.concatenate([seeing[:, None], GL[:, None], L0[:, None],
                             mask], axis=1)
@@ -80,8 +82,8 @@ def main():
             rows = np.concatenate(
                 [rows, np.repeat(rows[-1:], CHUNK - rows.shape[0], 0)], 0)
         t_d = jnp.asarray(rows, gcfg.dtype)
-        f = lambda: _fit_chunk(t_d, nv, lb, H, float(ws), NPSFLIN,  # noqa: E731
-                               gcfg, cfg.fit_dtype)
+        f = lambda: _fit_chunk(t_d, nv, lb, npixc, H, float(ws),  # noqa: E731
+                               NPSFLIN, gcfg, cfg.fit_dtype)
         f()                                     # ensure compiled
         per_chunk = slope_time(f)
         res[name] = {"s_per_chunk": round(per_chunk, 5),

@@ -944,22 +944,43 @@ def psd_to_psf(psd, pup, D, lbda, phase_static=None, samp=None, FoV=None,
     return psf
 
 
-@partial(jax.jit, static_argnames=("cfg",))
 def psf_cube(psd, lbda_nm, cfg: GalacsiConfig):
     """PSF cube (nl, dimpsf, dimpsf) at the MUSE sampling from the PSD cube.
 
     ``psd``: (ndir, dim, dim) image-centred residual PSD [nm^2/freq^2]
     (or (dim, dim) for a single direction).
-    ``lbda_nm``: (nl,) wavelengths [nm] (traced).
+    ``lbda_nm``: (nl,) wavelengths [nm].  Host wrapper: concrete
+    wavelengths get their crop sizes decided in float64 BEFORE the jit
+    boundary (lambda_crop_size's .5-boundary QUIRK), then the jitted
+    body runs.
     """
-    if psd.ndim == 2:
-        psd = psd[None]
-    base = dphi_base(psd.astype(cfg.dtype), cfg)    # (ndir, dim, dim)
-    return psf_cube_from_base(base, lbda_nm, cfg)
+    npixc = (None if isinstance(lbda_nm, jax.core.Tracer)
+             else lambda_crop_size(lbda_nm, cfg))
+    return _psf_cube_jit(psd, lbda_nm, npixc, cfg)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def _psf_cube_jit(psd, lbda_nm, npixc, cfg: GalacsiConfig):
+    if psd.ndim == 2:
+        psd = psd[None]
+    base = dphi_base(psd.astype(cfg.dtype), cfg)    # (ndir, dim, dim)
+    return psf_cube_from_base(base, lbda_nm, cfg, npixc=npixc)
+
+
 def psf_cube_from_base(base, lbda_nm, cfg: GalacsiConfig, npixc=None):
+    """Host wrapper over the jitted body: concrete wavelengths compute
+    ``npixc`` in float64 on the host before tracing (the in-graph f32
+    quotient can round .5-boundary crops the other way — see
+    :func:`lambda_crop_size`); traced callers pass a precomputed
+    ``npixc`` or accept the f32 fallback.  Full contract in
+    :func:`_psf_cube_from_base_jit`."""
+    if npixc is None and not isinstance(lbda_nm, jax.core.Tracer):
+        npixc = lambda_crop_size(lbda_nm, cfg)
+    return _psf_cube_from_base_jit(base, lbda_nm, npixc, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _psf_cube_from_base_jit(base, lbda_nm, npixc, cfg: GalacsiConfig):
     """PSF cube from the wavelength-free structure function ``base``
     (from :func:`dphi_base` or :func:`dphi_base_split` under the SAME
     config).  Its shape is the config's fold/support window: ``(ndir,

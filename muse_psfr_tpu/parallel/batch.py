@@ -299,6 +299,31 @@ def _compile_concurrently(jobs, width=None):
 _WARM_MEMO = set()
 
 
+def _redo_warm_specs(specs, chunk_n, seeing, GL, L0,
+                     gs_mask, lbda, h, npsflin, cfg, windowed):
+    """Add the guard-redo executables to ``specs``.
+
+    The redo re-plans with ``_force_full=True``; deriving the specs from
+    that plan (rather than hand-building ``cfg.with_(otf_support=0)``)
+    picks up everything ``_plan_batch`` resolves — zoom-anchor
+    resolution, the exact-transform (split-bad) redo group — so the
+    warm covers exactly what a trip would dispatch.  ``setdefault``
+    dedups against groups the night already compiles.  No-op when no
+    reduced-window group exists (nothing can trip)."""
+    if not windowed:
+        return
+    _, r_groups, _, r_table, *_ = _plan_batch(
+        seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg, chunk_n, None,
+        True)
+    for rcfg, ridx in r_groups:
+        rt = r_table[ridx]
+        if rt.shape[0] < chunk_n:
+            rt = np.concatenate(
+                [rt, np.repeat(rt[-1:], chunk_n - rt.shape[0], axis=0)],
+                axis=0)
+        specs.setdefault((rcfg, chunk_n), rt)
+
+
 def _warm_programs(specs, kind, lbda_j, npixc_j, h_t, wind_speed, npsflin,
                    fit_dtype=None, mean_spec=None):
     """Compile the chunk executables a night will dispatch, in parallel.
@@ -616,19 +641,19 @@ def _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg, chunk,
     lb_np = np.atleast_1d(np.asarray(lbda, dtype=np.float64))
     if lb_np.size == 0:
         raise ValueError("empty wavelength array")
-    npixc_max = int(np.round((cfg.dimpsf * cfg.pixscale * 2.0 * cfg.dpup
-                              * 4.85 * 1000.0 / lb_np.min()) / 2.0) * 2.0)
+    # per-wavelength crop sizes in host float64: the banker's-rounding
+    # .5 boundaries must be decided exactly (otf/psf.py:lambda_crop_size
+    # QUIRK, the single home of the crop formula) — the in-graph f32
+    # quotient can land on the wrong side
+    from ..otf.psf import lambda_crop_size
+    npixc = lambda_crop_size(lb_np, cfg)
+    npixc_max = int(np.asarray(npixc).max())
     if npixc_max > cfg.dim:
         raise ValueError(
             f"wavelength {lb_np.min():.1f} nm needs a {npixc_max} px crop, "
             f"larger than the {cfg.dim}^2 PSD grid; raise cfg.dim or the "
             f"minimum wavelength")
     h_t = tuple(float(x) for x in np.asarray(h, dtype=np.float64).ravel())
-    # per-wavelength crop sizes in host float64: the banker's-rounding
-    # .5 boundaries must be decided exactly (otf/psf.py:lambda_crop_size
-    # QUIRK) — the in-graph f32 quotient can land on the wrong side
-    from ..otf.psf import lambda_crop_size
-    npixc = lambda_crop_size(lb_np, cfg)
     # from the normalised 1-D host copy: a scalar lbda otherwise becomes
     # a 0-d device array and crashes deep in the pipeline
     lbda = jnp.asarray(lb_np, cfg.dtype)
@@ -733,6 +758,7 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     All chunks are dispatched with identical shapes (one compilation per
     bucket).
     """
+    lbda_host = lbda               # original value, for the redo re-plan
     (cfg, groups, chunk, table, lbda, h_t, wind_speed, sharding,
      npixc) = _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
                           chunk, mesh, force_full)
@@ -749,6 +775,9 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                     [gt, np.repeat(gt[-1:], chunk - gt.shape[0], axis=0)],
                     axis=0)
             specs.setdefault((gcfg, chunk), gt)
+        _redo_warm_specs(specs, chunk, seeing, GL, L0, gs_mask,
+                         lbda_host, h, npsflin, cfg,
+                         any(gcfg.otf_support for gcfg, _ in groups))
         _warm_programs(specs, "recon", lbda, npixc, h_t, wind_speed,
                        npsflin)
 
@@ -1100,22 +1129,14 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
         for gcfg, _, gt, sizes, _, _ in plans:
             for s in sizes:
                 specs.setdefault((gcfg, s), gt)
-        if any(gcfg.otf_support for gcfg, *_ in plans):
-            # the guard-redo executable (full window, chunk_n rows —
-            # exactly what the redo call below will dispatch): when every
-            # row was admitted to a reduced window it exists in no plan,
-            # and a guard trip would compile it MID-NIGHT.  setdefault
-            # dedups against a real full-window group when one exists.
-            # (This path only runs when warming is enabled; on lazy
-            # deployments a trip pays the compile.)
-            g0 = (cfg_r.with_(otf_support=0) if cfg_r.otf_support
-                  else cfg_r)
-            gt0 = next(gt for gcfg, _, gt, *_ in plans if gcfg.otf_support)
-            if gt0.shape[0] < chunk_n:   # tail-only group: pad to the
-                gt0 = np.concatenate(    # redo's (chunk_n, 7) shape
-                    [gt0, np.repeat(gt0[-1:], chunk_n - gt0.shape[0],
-                                    axis=0)], axis=0)
-            specs.setdefault((g0, chunk_n), gt0)
+        # when any group can trip the window guard, warm the redo
+        # executables too: on an all-windowed night they exist in no
+        # plan and a trip would otherwise compile MID-NIGHT (this path
+        # only runs when warming is enabled; lazy deployments pay the
+        # compile on a trip — rare by the estimator's 3-decade margin)
+        _redo_warm_specs(specs, chunk_n, seeing, GL, L0, gs_mask,
+                         lbda, h, npsflin, cfg,
+                         any(gcfg.otf_support for gcfg, *_ in plans))
         with stage_timer("batch.warm"):
             _warm_programs(
                 specs, "fit", lbda_j, npixc_j, h_t, wind_speed, npsflin,

@@ -87,6 +87,30 @@ def test_lambda_crop_half_boundary_decided_in_float64():
     assert_allclose(np.asarray(npixc), got)
 
 
+def test_standalone_transforms_decide_crop_on_host(monkeypatch):
+    """``psf_cube`` / ``psf_cube_from_base`` with concrete wavelengths
+    must decide the crop sizes on the HOST (float64) — they used to be
+    fully jitted, so wavelengths were always traced inside and the f32
+    fallback silently took over (invisible on CPU where x64 is on, but
+    the .5-boundary bug on TPU; see
+    test_lambda_crop_half_boundary_decided_in_float64)."""
+    import jax
+    import muse_psfr_tpu.otf.psf as P
+    from muse_psfr_tpu.config import TINY_CONFIG
+
+    traced_calls = []
+    orig = P.lambda_crop_size
+
+    def spy(lb, cfg):
+        traced_calls.append(isinstance(lb, jax.core.Tracer))
+        return orig(lb, cfg)
+
+    monkeypatch.setattr(P, "lambda_crop_size", spy)
+    psd = np.zeros((TINY_CONFIG.dim, TINY_CONFIG.dim), np.float32)
+    P.psf_cube(psd, np.array([700.0, 800.0]), TINY_CONFIG)
+    assert traced_calls == [False]   # exactly one call, on the host
+
+
 def test_pupil_mask_against_reference_expression():
     for radius, width, oc, inv in [(320, 640, 0.14, False), (5, 80, 0, True)]:
         got = np.asarray(pupil_mask(radius, width, oc, inv, jnp.float64))
