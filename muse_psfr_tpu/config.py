@@ -194,6 +194,31 @@ class GalacsiConfig:
                                # Must be a multiple of 128 (tile-aligned);
                                # each distinct value is a separate
                                # compilation of the pipeline.
+    otf_blue: tuple = None     # optional blue-segment window split
+                               # (nb, S_blue): the first nb wavelengths
+                               # (which must be the BLUEST — the batch
+                               # planner only engages it on ascending
+                               # grids) run the whole OTF/zoom machinery
+                               # on the smaller centred sub-window
+                               # S_blue < otf_window S, the rest on the
+                               # bucket window.  The structure function
+                               # is wavelength-free but the damping
+                               # exponent scales as (2pi/lambda)^2, so
+                               # blue planes admit much smaller windows
+                               # than the band maximum that sizes the
+                               # per-row bucket: on the bench-night
+                               # telemetry 100% of S=256-bucket rows
+                               # admit S=128 for lambda <= 658 nm
+                               # (area 1/3) and ~72% of full-window
+                               # rows admit S=256 there (area 1/5) —
+                               # benchmarks/measure_perlambda_window.py.
+                               # Set per GROUP by the batch planner from
+                               # the host-side admission model
+                               # (parallel/batch.py:rows_windowable at
+                               # max(lambda[:nb])), backstopped by the
+                               # extended device window guard; each
+                               # distinct value is a separate pipeline
+                               # compilation.  None = single window.
     zoom_anchor: str = "off"   # anchored-Taylor evaluation of the OTF
                                # damping exp(alpha_l * Dphi_d) inside the
                                # fused Pallas kernel: ONE anchor

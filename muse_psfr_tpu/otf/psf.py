@@ -996,6 +996,61 @@ def _psf_cube_from_base_jit(base, lbda_nm, npixc, cfg: GalacsiConfig):
     f32 fallback can round a .5-boundary crop the other way (see the
     QUIRK note there).
     """
+    if npixc is None:
+        npixc = lambda_crop_size(lbda_nm, cfg)      # (nl,) int32
+    return _psf_cube_from_base_body(base, lbda_nm, npixc, cfg)
+
+
+def _blue_split_cfgs(cfg: GalacsiConfig, nl: int):
+    """Validate ``cfg.otf_blue`` and return ``(nb, cfg_blue, cfg_red)``.
+
+    ``cfg_blue`` is the SAME pipeline config re-rooted on the smaller
+    centred window (``otf_support=S_blue``) — every downstream stage
+    (a2 slicing, fold weights, pupil-OTF slice, Pallas VMEM plan) then
+    sizes itself off that window through the ordinary code paths — with
+    ``pallas_lambda_chunk`` set to the blue segment length so the
+    (small) blue launch covers the whole segment in one chunk when its
+    VMEM admits it, instead of padding the segment up to the bucket's
+    chunk multiple.  ``cfg_red`` is the bucket config with the split
+    cleared.
+    """
+    nb, Sb = cfg.otf_blue
+    nb, Sb = int(nb), int(Sb)
+    win = cfg.otf_window
+    if win is None:
+        raise ValueError("otf_blue requires the fold/window machinery "
+                         "(cfg.otf_window is None)")
+    S = win[1]
+    if Sb % 128 != 0 or not 0 < Sb < S:
+        raise ValueError(
+            f"otf_blue window {Sb} must be a positive multiple of 128 "
+            f"smaller than the bucket window {S}")
+    if not 0 < nb < nl:
+        raise ValueError(
+            f"otf_blue segment length {nb} must satisfy 0 < nb < nl={nl}")
+    cfg_red = cfg.with_(otf_blue=None)
+    cfg_blue = cfg_red.with_(otf_support=Sb, pallas_lambda_chunk=nb)
+    return nb, cfg_blue, cfg_red
+
+
+def _psf_cube_from_base_body(base, lbda_nm, npixc, cfg: GalacsiConfig):
+    if cfg.otf_blue is not None:
+        # blue-segment window split (cfg.otf_blue = (nb, S_blue)): the
+        # damping exponent scales as (2pi/lambda)^2, so the bluest nb
+        # wavelengths run on the smaller centred sub-window S_blue —
+        # a static slice of the SAME wavelength-free structure function
+        # — through this very body re-rooted on that window; admission
+        # is certified by the batch planner's host model and backstopped
+        # by the device window guard (parallel/batch.py:_window_guard).
+        nb, cfg_blue, cfg_red = _blue_split_cfgs(cfg, int(lbda_nm.shape[0]))
+        S, Sb = cfg.otf_window[1], cfg_blue.otf_window[1]
+        lo = S - Sb
+        out_b = _psf_cube_from_base_body(
+            base[..., lo:S + Sb, lo:], lbda_nm[:nb], npixc[:nb], cfg_blue)
+        out_r = _psf_cube_from_base_body(
+            base, lbda_nm[nb:], npixc[nb:], cfg_red)
+        return jnp.concatenate([out_b, out_r], axis=0)
+
     dtype = jnp.dtype(cfg.dtype)
     dim = cfg.dim
     dl = pupil_otf(cfg)                             # (dim, dim)

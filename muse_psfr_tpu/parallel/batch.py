@@ -51,16 +51,36 @@ def _window_guard(base, lbda, cfg: GalacsiConfig):
     to the full grid edge at a threshold (1e-12) three decades below
     this guard's 1e-9 — the guard is the on-device backstop for rows
     the estimator admitted, not the primary certification.
+
+    With ``cfg.otf_blue = (nb, S_blue)`` the bluest ``nb`` wavelengths
+    run on the smaller centred sub-window, so the guard additionally
+    checks the SUB-window boundary at ``max(lbda[:nb])`` (only the top/
+    bottom rows and the left column are truncation boundaries — columns
+    past ``c+128`` are reached through the point-symmetry fold, whose
+    mirror lands inside the computed block for any 128-multiple S).
     """
     win = cfg.otf_window
+    g = jnp.asarray(np.inf, cfg.dtype)
+    if win is not None and cfg.otf_blue is not None:
+        nb, Sb = int(cfg.otf_blue[0]), int(cfg.otf_blue[1])
+        S = win[1]
+        lo, hi = S - Sb, S + Sb
+        d_edge_b = jnp.minimum(
+            jnp.minimum(jnp.min(base[:, lo, lo:]),
+                        jnp.min(base[:, hi - 1, lo:])),
+            jnp.min(base[:, lo:hi, lo]))
+        convnm2_b = (2.0 * np.pi / jnp.max(lbda[:nb])) ** 2
+        g = (0.5 * convnm2_b * d_edge_b - float(np.log(1e9))).astype(
+            jnp.dtype(cfg.dtype))
     if win is None or win[1] >= cfg.dim // 2:
-        # full (half-)window: the fold drops nothing, nothing to guard
-        return jnp.asarray(np.inf, cfg.dtype)
+        # full (half-)window: the fold drops nothing beyond any blue
+        # sub-window already guarded above
+        return g
     d_edge = jnp.minimum(
         jnp.minimum(jnp.min(base[:, 0, :]), jnp.min(base[:, -1, :])),
         jnp.min(base[:, :, 0]))
     convnm2 = (2.0 * np.pi / jnp.max(lbda)) ** 2
-    return 0.5 * convnm2 * d_edge - float(np.log(1e9))
+    return jnp.minimum(g, 0.5 * convnm2 * d_edge - float(np.log(1e9)))
 
 
 def reconstruct_one(seeing, GL, L0, gs_mask, lbda, h, wind_speed,
@@ -508,10 +528,12 @@ def rows_windowable(seeing, GL, L0, gs_mask, lbda_max_nm, cfg, S,
     Rows outside the certified split range (L0 < cfg.dphi_split_l0_min)
     or with non-finite telemetry report not-windowable.  Zenith is
     ignored (cos^0.6 <= 1 only increases turbulence, i.e. damping).
-    Results are memoised on the telemetry content.
+    Results are memoised on the telemetry content; the expensive part
+    (the exact zone model + ring sampling, which is independent of both
+    the wavelength and the window size) is memoised ONCE per telemetry
+    by :func:`_ring_damping`, so probing several (lambda, S) pairs —
+    the blue-split planner's menu — reuses one evaluation.
     """
-    from ..core.vonkarman import fitting_expansion_spec, CST_VK_EXACT
-    from ..otf.psf import fitting_dphi_ring_envelopes, _centered_idft_np
     from ..psd.model import effective_wind_speed
     seeing = np.atleast_1d(np.asarray(seeing, np.float64))
     GL = np.atleast_1d(np.asarray(GL, np.float64))
@@ -528,12 +550,53 @@ def rows_windowable(seeing, GL, L0, gs_mask, lbda_max_nm, cfg, S,
            thresh)
     if key in _WINDOWABLE_MEMO:
         return _WINDOWABLE_MEMO[key]
+    idx, d_tot, r_of_pt = _ring_damping(seeing, GL, L0, gs_mask, cfg,
+                                        h_t, float(wind_speed), npsflin)
+    if idx.size == 0:
+        return out
+    convnm2 = (2.0 * np.pi / float(lbda_max_nm)) ** 2
+    need = -np.log(thresh)
+    sel = r_of_pt >= S - 1
+    ok_rows = np.all(0.5 * convnm2 * d_tot[:, :, sel] >= need, axis=(1, 2))
+    out[idx] = ok_rows
+    if len(_WINDOWABLE_MEMO) > 64:
+        _WINDOWABLE_MEMO.clear()
+    _WINDOWABLE_MEMO[key] = out
+    return out
+
+
+_RING_DAMPING_MEMO = {}
+
+
+def _ring_damping(seeing, GL, L0, gs_mask, cfg, h_t, wind_speed,
+                  npsflin):
+    """Exact host-side structure-function samples on the admission rays.
+
+    Returns ``(idx, d_tot, r_of_pt)``: the valid-row indices, their
+    ``(R, ndir, npts)`` structure-function values on the 8 inf-norm-ring
+    extreme rays at 32-px radius steps from 127 (= the smallest window's
+    boundary; every 128-multiple boundary S-1 lands on this grid) out to
+    the grid edge, and each point's radius.  Wavelength- and window-
+    independent — the caller thresholds ``0.5 * (2pi/lbda)^2 * d_tot``
+    on the subset ``r_of_pt >= S - 1``.  Memoised on the telemetry
+    content (one zone-model + GEMM evaluation serves every (lambda, S)
+    probe of a planning pass).
+    """
+    from ..core.vonkarman import fitting_expansion_spec, CST_VK_EXACT
+    from ..otf.psf import fitting_dphi_ring_envelopes, _centered_idft_np
+    key = (seeing.tobytes(), GL.tobytes(), L0.tobytes(), gs_mask.tobytes(),
+           h_t, wind_speed, npsflin, cfg.with_(otf_support=0,
+                                               otf_blue=None))
+    if key in _RING_DAMPING_MEMO:
+        return _RING_DAMPING_MEMO[key]
     ok = (np.isfinite(seeing) & (seeing > 0) & np.isfinite(L0)
           & (L0 >= cfg.dphi_split_l0_min) & np.isfinite(GL)
           & np.all(np.isfinite(gs_mask), axis=1))
-    if not ok.any():
-        return out
     idx = np.nonzero(ok)[0]
+    if idx.size == 0:
+        res = (idx, np.zeros((0, 1, 0)), np.zeros(0, int))
+        _RING_DAMPING_MEMO[key] = res
+        return res
     see_v, gl_v, l0_v, m_v = seeing[idx], GL[idx], L0[idx], gs_mask[idx]
     dim = cfg.dim
     c = dim // 2
@@ -553,16 +616,16 @@ def rows_windowable(seeing, GL, L0, gs_mask, lbda_max_nm, cfg, S,
                       w[:, :, None] * tmax[None])).sum(axis=1)  # (R, c+1)
 
     # correction part: exact zone model, sampled on the 8 ring-extreme
-    # rays at 32-px steps from the window boundary outward
+    # rays at 32-px steps from the smallest window boundary outward
     _, delta = _split_on_cpu(see_v, gl_v, l0_v, m_v, h_t,
-                             float(wind_speed), npsflin, cfg)
+                             wind_speed, npsflin, cfg)
     L = cfg.dpup * (dim / cfg.npup)
     scale = dim * dim / (L * L)
     bg00 = delta.sum(axis=(-2, -1)) / (L * L)            # (R, ndir)
     lo = c - cfg.dim_pup
     s = delta.shape[-1]
     cb, sb = _centered_idft_np(dim, cols=(lo, s))        # (dim, s) f64
-    radii = np.arange(S - 1, c, 32)
+    radii = np.arange(127, c, 32)
     if radii[-1] != c - 1:
         radii = np.append(radii, c - 1)
     # evaluation points (dy, dx) covering the 8 rays at each radius
@@ -585,15 +648,10 @@ def rows_windowable(seeing, GL, L0, gs_mask, lbda_max_nm, cfg, S,
     d_corr = 2.0 * (bg00[..., None] - re * scale)        # (R, ndir, npts)
     r_of_pt = np.repeat(radii, 8)
     d_tot = d_fit[:, r_of_pt][:, None, :] + d_corr       # (R, ndir, npts)
-
-    convnm2 = (2.0 * np.pi / float(lbda_max_nm)) ** 2
-    need = -np.log(thresh)
-    ok_rows = np.all(0.5 * convnm2 * d_tot >= need, axis=(1, 2))
-    out[idx] = ok_rows
-    if len(_WINDOWABLE_MEMO) > 64:
-        _WINDOWABLE_MEMO.clear()
-    _WINDOWABLE_MEMO[key] = out
-    return out
+    if len(_RING_DAMPING_MEMO) > 16:
+        _RING_DAMPING_MEMO.clear()
+    _RING_DAMPING_MEMO[key] = (idx, d_tot, r_of_pt)
+    return idx, d_tot, r_of_pt
 
 
 def estimate_otf_support(seeing, GL, L0, gs_mask, lbda_max_nm, cfg,
@@ -612,6 +670,105 @@ def estimate_otf_support(seeing, GL, L0, gs_mask, lbda_max_nm, cfg,
                            thresh).all():
             return S
     return 0
+
+
+def _blue_split_plan(groups, seeing, GL, L0, gs_mask, lb_np, h_t,
+                     wind_speed, npsflin, chunk_c):
+    """Per-group blue-segment window planning (``cfg.otf_blue``).
+
+    The damping exponent scales as ``(2pi/lambda)^2``, so the bluest
+    wavelengths admit much smaller OTF windows than the band maximum
+    that sized each group's bucket.  For every windowed/full group this
+    probes the host admission model (:func:`rows_windowable`) at the
+    half-bucket window ``S_blue`` for a menu of segment lengths
+    ``nb in {lambda_chunk, 2*lambda_chunk, ...}`` (the menu keeps the
+    static-key variety — and hence the compile count — bounded across
+    nights) and either:
+
+    * annotates the whole group with the largest ``nb`` every row
+      admits (no extra executable), or
+    * splits the group into a blue-admitting subgroup + the remainder
+      when the partial split saves meaningfully more exp area than the
+      whole-group annotation (>4/3, i.e. whole-group wins at >=0.75 of
+      the best partial score) AND the subgroup covers at least a
+      quarter of the group (a second executable costs a compile).
+
+    A partial split is CHUNK-AWARE: the blue subgroup is rounded DOWN
+    to a multiple of the dispatch quantum (the clamped chunk for
+    full-window groups, which always pad; the chunk/4 tail-menu step
+    for reduced-window groups) by demoting excess admitted rows to the
+    plain group — otherwise both subgroups pad up to the chunk and the
+    padded rows' real device work repays the saving (e.g. the 1000-row
+    bench night would pad 102 extra rows at chunk=100, ~the entire
+    ~35 ms win).  Demotion only ever costs the demoted rows' saving;
+    the plain group's worst-case pad stays <= chunk-1, the same as the
+    unsplit group's.
+
+    Ceiling data: benchmarks/measure_perlambda_window.py (bench-night
+    telemetry: the S=256 bucket admits S=128 for lambda <= 658 nm for
+    100% of rows; ~72% of full-window rows admit S=256 there).
+    Requires an ascending wavelength grid; groups already annotated,
+    anchored, or outside the split-certified range are left alone.
+    Skipped wholesale with ``MUSE_PSFR_NO_BLUE=1``.
+    """
+    nl = lb_np.size
+    if (nl < 2 or np.any(np.diff(lb_np) < 0)
+            or os.environ.get("MUSE_PSFR_NO_BLUE")):
+        return groups
+    out = []
+    for gcfg, gidx in groups:
+        win = gcfg.otf_window
+        if (win is None or not gcfg.use_dphi_split
+                or gcfg.zoom_anchor == "on" or gcfg.otf_blue is not None
+                or gidx.size == 0):
+            out.append((gcfg, gidx))
+            continue
+        S = win[1]
+        Sb = ((S // 2) // 128) * 128
+        kl = max(1, int(gcfg.lambda_chunk))
+        if Sb < 128 or Sb >= S or nl <= kl:
+            out.append((gcfg, gidx))
+            continue
+        probe = gcfg if gcfg.otf_support == 0 else gcfg.with_(otf_support=0)
+        n_rows = gidx.size
+        quantum = (chunk_c if gcfg.otf_support == 0
+                   else max(1, chunk_c // 4))
+        best_nb, best_score, best_adm, best_keep, full_nb = 0, 0, None, 0, 0
+        for nb in range(kl, nl, kl):
+            adm = rows_windowable(seeing[gidx], GL[gidx], L0[gidx],
+                                  gs_mask[gidx], float(lb_np[nb - 1]),
+                                  probe, Sb, h=h_t, wind_speed=wind_speed,
+                                  npsflin=npsflin)
+            cnt = int(adm.sum())
+            if cnt == 0:
+                break           # admission is monotone decreasing in nb
+            if cnt == n_rows:
+                full_nb = nb
+            # score on the CHUNK-ROUNDED row count the split would keep
+            # (a whole-group candidate needs no rounding)
+            keep = n_rows if cnt == n_rows else (cnt // quantum) * quantum
+            if nb * keep > best_score:
+                best_nb, best_score = nb, nb * keep
+                best_adm, best_keep = adm, keep
+        if best_nb == 0 or best_keep == 0:
+            out.append((gcfg, gidx))
+        elif best_keep == n_rows or \
+                (full_nb and full_nb * n_rows >= 0.75 * best_score) or \
+                best_keep < max(1, n_rows // 4):
+            # whole-group annotation (or: the partial subgroup is too
+            # small to be worth its own executable)
+            if full_nb:
+                out.append((gcfg.with_(otf_blue=(full_nb, Sb)), gidx))
+            else:
+                out.append((gcfg, gidx))
+        else:
+            sel = np.nonzero(best_adm)[0][:best_keep]
+            blue_rows = np.zeros(n_rows, bool)
+            blue_rows[sel] = True
+            out.append((gcfg.with_(otf_blue=(best_nb, Sb)),
+                        gidx[blue_rows]))
+            out.append((gcfg, gidx[~blue_rows]))
+    return out
 
 
 def clamped_chunk(chunk: int, B: int, mesh: Mesh = None) -> int:
@@ -677,8 +834,11 @@ def _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg, chunk,
     if force_full:
         # guard-redo path: the ORIGINAL config's full-window executable
         # (otf_support=0 <-> full window share the jit static key only
-        # when the field itself is 0)
-        g0 = cfg.with_(otf_support=0) if cfg.otf_support else cfg
+        # when the field itself is 0); any blue-segment split is cleared
+        # too — the guard that sent us here may have tripped on the blue
+        # sub-window boundary
+        g0 = (cfg.with_(otf_support=0, otf_blue=None)
+              if (cfg.otf_support or cfg.otf_blue is not None) else cfg)
         groups = [(g0, np.arange(B))]
         if split_bad.any():
             groups = [(g0.with_(use_dphi_split=False),
@@ -697,7 +857,10 @@ def _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg, chunk,
             # the rest the full one; the in-pipeline window guard
             # backstops the host-side bound
             sub = [(cfg, rest)]
-            if cfg.otf_support == 0 and cfg.otf_window is not None:
+            # a pinned otf_blue is a pinned-window config: bucketing
+            # could otherwise assign otf_support == S_blue (invalid)
+            if (cfg.otf_support == 0 and cfg.otf_window is not None
+                    and cfg.otf_blue is None):
                 bq = default_support_bucket(cfg)
                 if bq < cfg.dim // 2:
                     okw = rows_windowable(
@@ -719,6 +882,16 @@ def _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg, chunk,
     ndir = npsflin * npsflin
     groups = [(resolve_zoom_anchor(gcfg, lb_np, ndir), gidx)
               for gcfg, gidx in groups]
+
+    # blue-segment window split (cfg.otf_blue): the bluest wavelengths
+    # of each group run on a half-bucket window when the host admission
+    # model certifies it for the group's rows (see _blue_split_plan) —
+    # only on the auto-bucketed path (an explicit otf_support pins one
+    # window; force_full is the guard-redo escape hatch)
+    if not force_full and cfg.otf_support == 0:
+        groups = _blue_split_plan(groups, seeing, GL, L0, gs_mask, lb_np,
+                                  h_t, wind_speed, npsflin,
+                                  clamped_chunk(chunk, B, mesh))
 
     # clamp the chunk to the batch (smaller nights would pad pointlessly)
     # — EXCEPT on the guard-redo path: the redo subset is usually smaller
@@ -777,7 +950,8 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
             specs.setdefault((gcfg, chunk), gt)
         _redo_warm_specs(specs, chunk, seeing, GL, L0, gs_mask,
                          lbda_host, h, npsflin, cfg,
-                         any(gcfg.otf_support for gcfg, _ in groups))
+                         any(gcfg.otf_support or gcfg.otf_blue is not None
+                             for gcfg, _ in groups))
         _warm_programs(specs, "recon", lbda, npixc, h_t, wind_speed,
                        npsflin)
 
@@ -964,9 +1138,10 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     ``on_final(row_indices)`` is called when rows' values become FINAL
     — i.e. provably not subject to a window-guard redo: right after
     delivery for chunks of guard-free groups (groups dispatched with
-    ``otf_support=0``, whose guard is structurally +inf — the
-    full-window bucket, and every group when the base config is
-    full-window — so a mid-night crash resumes past them), once for
+    ``otf_support=0`` and no blue sub-window, whose guard is
+    structurally +inf — the pure full-window bucket, and every group
+    when the base config is full-window — so a mid-night crash resumes
+    past them), once for
     all rows of untripped
     reduced-window chunks (after the guard vector is pulled), and once
     more for the redone rows (after their corrected values are
@@ -1136,7 +1311,8 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
         # compile on a trip — rare by the estimator's 3-decade margin)
         _redo_warm_specs(specs, chunk_n, seeing, GL, L0, gs_mask,
                          lbda, h, npsflin, cfg,
-                         any(gcfg.otf_support for gcfg, *_ in plans))
+                         any(gcfg.otf_support or gcfg.otf_blue is not None
+                             for gcfg, *_ in plans))
         with stage_timer("batch.warm"):
             _warm_programs(
                 specs, "fit", lbda_j, npixc_j, h_t, wind_speed, npsflin,
@@ -1170,15 +1346,17 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                 idxs.append(gidx[int(offs[i]):int(offs[i]) + n])
                 psums.append(psum)
                 guards.append(guard)
-                gfree.append(not gcfg.otf_support)
+                gfree.append(not gcfg.otf_support
+                             and gcfg.otf_blue is None)
                 _maybe_part()
                 if on_chunk is not None:
                     on_chunk(idxs[-1], np.asarray(fits[-1]))
                 if on_final is not None and gfree[-1]:
-                    # no window => the guard is +inf by construction and
-                    # the rows can never be redone: final at delivery.
-                    # A crash mid-night then resumes past these chunks
-                    # instead of recomputing the whole sweep.
+                    # no window (and no blue sub-window) => the guard is
+                    # +inf by construction and the rows can never be
+                    # redone: final at delivery.  A crash mid-night then
+                    # resumes past these chunks instead of recomputing
+                    # the whole sweep.
                     on_final(idxs[-1])
                 count += n
         else:
@@ -1200,7 +1378,8 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                 idxs.append(gidx[int(offs[i]):int(offs[i]) + n])
                 psums.append(psum)
                 guards.append(guard)
-                gfree.append(not gcfg.otf_support)
+                gfree.append(not gcfg.otf_support
+                             and gcfg.otf_blue is None)
                 _maybe_part()
                 if on_chunk is not None:
                     on_chunk(idxs[-1], np.asarray(fits[-1]))

@@ -539,3 +539,175 @@ def test_on_final_fires_only_when_guard_resolved():
     assert order[-2][0] == "chunk"          # corrected delivery first
     # and the value captured at on_chunk time for row 2 is the final one
     assert_allclose(values[2], fit[2], rtol=0, atol=0)
+
+
+# ---- blue-segment window split (cfg.otf_blue) ---------------------------
+#
+# The damping exponent scales as (2pi/lambda)^2, so the bluest
+# wavelengths admit much smaller OTF windows than the band maximum that
+# sizes the per-row bucket (ceiling data:
+# benchmarks/measure_perlambda_window.py).  cfg.otf_blue = (nb, S_blue)
+# runs the first nb wavelengths on the S_blue sub-window; the batch
+# planner sets it per group from the host admission model and the device
+# guard checks the sub-window boundary at max(lbda[:nb]).
+
+BLUE_CFG = GalacsiConfig(dim=512, dim_pup=16, dimpsf=12, lambda_chunk=2)
+
+
+def test_blue_split_red_identical_blue_within_budget():
+    """Mechanism parity: the red segment is bit-identical to the
+    unsplit run (same code path on the same window); the blue planes
+    differ only by the certified window truncation (f32 noise here —
+    this row's OTF damps below 1e-12 inside S=128 at every lambda)."""
+    from muse_psfr_tpu.otf.psf import psf_cube_from_base
+    cfg = BLUE_CFG
+    lb = np.linspace(600.0, 900.0, 6)
+    ws = effective_wind_speed(H, cfg)
+    psd = simulate_psd(1.0, 0.7, 25.0, jnp.ones(4), H, ws, 1, cfg)
+    base = dphi_base(psd.astype(cfg.dtype), cfg)
+    ref = np.asarray(psf_cube_from_base(base, lb, cfg))
+    got = np.asarray(psf_cube_from_base(base, lb,
+                                        cfg.with_(otf_blue=(3, 128))))
+    assert np.array_equal(ref[3:], got[3:])
+    assert np.abs(ref[:3] - got[:3]).max() < 5e-7
+
+
+def test_blue_split_validation():
+    import pytest
+    from muse_psfr_tpu.otf.psf import psf_cube_from_base
+    cfg = BLUE_CFG
+    lb = np.linspace(600.0, 900.0, 6)
+    ws = effective_wind_speed(H, cfg)
+    psd = simulate_psd(1.0, 0.7, 25.0, jnp.ones(4), H, ws, 1, cfg)
+    base = dphi_base(psd.astype(cfg.dtype), cfg)
+    for bad, msg in [((0, 128), "segment length"),
+                     ((6, 128), "segment length"),
+                     ((3, 64), "multiple of 128"),
+                     ((3, 256), "multiple of 128")]:
+        with pytest.raises(ValueError, match=msg):
+            psf_cube_from_base(base, lb, cfg.with_(otf_blue=bad))
+    with pytest.raises(ValueError, match="fold/window"):
+        from muse_psfr_tpu.otf.psf import _blue_split_cfgs
+        _blue_split_cfgs(cfg.with_(use_sym_fold=False, otf_blue=(3, 128)),
+                         6)
+
+
+def test_window_guard_blue_boundary():
+    """The guard must check the SUB-window boundary at the blue
+    segment's max wavelength: weak structure function ON that boundary
+    trips it; weak values strictly inside do not; the pure full window
+    stays structurally +inf."""
+    from muse_psfr_tpu.parallel.batch import _window_guard
+    cfg = BLUE_CFG                       # otf_window (0, 256): full
+    S, Sb, nb = 256, 128, 3
+    lb = jnp.asarray(np.linspace(500.0, 900.0, 6), jnp.float32)
+    base = jnp.full((1, 2 * S, S + 128), 1e9, jnp.float32)
+    assert np.isinf(float(_window_guard(base, lb, cfg)))
+    cfgb = cfg.with_(otf_blue=(nb, Sb))
+    assert float(_window_guard(base, lb, cfgb)) > 0
+    # each of the three truncation boundaries of the sub-window trips
+    for r, c in [(S - Sb, S), (S + Sb - 1, S), (S, S - Sb)]:
+        tripped = base.at[0, r, c].set(0.0)
+        assert float(_window_guard(tripped, lb, cfgb)) < 0, (r, c)
+    # a weak value strictly INSIDE the sub-window is not a truncation
+    assert float(_window_guard(base.at[0, S, S].set(0.0), lb, cfgb)) > 0
+    # ... and the blue guard composes with a real bucket window: the
+    # bucket boundary still trips at max(lbda)
+    cfg_wb = GalacsiConfig(dim=1024, dim_pup=16, dimpsf=12,
+                           otf_support=256, otf_blue=(3, 128))
+    Sw = 256
+    bw = jnp.full((1, 2 * Sw, Sw + 128), 1e9, jnp.float32)
+    assert float(_window_guard(bw, lb, cfg_wb)) > 0
+    assert float(_window_guard(bw.at[0, 0, 5].set(0.0), lb, cfg_wb)) < 0
+
+
+def test_blue_split_plan_partitions_the_full_bucket():
+    """Planner: gap rows (blue-admitting but not band-max-admitting)
+    get a blue-annotated full group; non-admitting rows stay in the
+    pure full group; every row lands exactly once.  MUSE_PSFR_NO_BLUE
+    disables the pass."""
+    import os
+    from muse_psfr_tpu.parallel.batch import _plan_batch
+    cfg = BLUE_CFG
+    lb = np.linspace(500.0, 900.0, 8)
+    # at dim=512/GL=0.85: seeing >= 0.75 admits S=128 at 557 nm but
+    # nobody admits it at 900 (measured scan) -> all rows bucket FULL
+    see = np.array([0.9, 1.0, 0.5])
+    gl = np.full(3, 0.85)
+    l0 = np.full(3, 25.0)
+    mask = np.ones((3, 4))
+    # chunk=2: the blue subgroup (2 gap rows) is a multiple of the
+    # dispatch quantum, so the chunk-aware split engages
+    groups = _plan_batch(see, gl, l0, mask, lb, H, 1, cfg, 2, None)[1]
+    covered = sorted(int(i) for _, gidx in groups for i in gidx)
+    assert covered == [0, 1, 2]
+    blue = [(gcfg, gidx) for gcfg, gidx in groups
+            if gcfg.otf_blue is not None]
+    assert blue, [g[0].otf_blue for g in groups]
+    for gcfg, gidx in blue:
+        nb, sb = gcfg.otf_blue
+        assert sb == 128 and nb % cfg.lambda_chunk == 0 and 0 < nb < 8
+        assert gcfg.otf_support == 0          # a full-bucket subgroup
+        assert set(gidx.tolist()) <= {0, 1}
+    pure = [gidx for gcfg, gidx in groups if gcfg.otf_blue is None
+            and gcfg.otf_support == 0]
+    assert any(2 in gidx for gidx in pure)
+    # chunk-aware quantum: at chunk=4 (clamped to the 3-row batch) the
+    # 2-row blue subgroup rounds to 0 -> no split (both subgroups would
+    # otherwise pad to 3 rows of real device work)
+    groups4 = _plan_batch(see, gl, l0, mask, lb, H, 1, cfg, 4, None)[1]
+    assert all(gcfg.otf_blue is None for gcfg, _ in groups4)
+    # env kill switch
+    os.environ["MUSE_PSFR_NO_BLUE"] = "1"
+    try:
+        groups2 = _plan_batch(see, gl, l0, mask, lb, H, 1, cfg, 2,
+                              None)[1]
+        assert all(gcfg.otf_blue is None for gcfg, _ in groups2)
+    finally:
+        del os.environ["MUSE_PSFR_NO_BLUE"]
+
+
+def test_process_batch_blue_matches_noblue():
+    """End-to-end: the auto blue split changes values only within the
+    certified window-truncation budget."""
+    import os
+    from muse_psfr_tpu.parallel.batch import process_batch
+    cfg = BLUE_CFG
+    lb = np.linspace(500.0, 900.0, 4)
+    see = np.array([0.9, 1.4, 0.5])
+    gl = np.array([0.85, 0.8, 0.85])
+    l0 = np.full(3, 25.0)
+    mask = np.ones((3, 4))
+    # make sure the comparison is not vacuous: the plan must engage blue
+    from muse_psfr_tpu.parallel.batch import _plan_batch
+    gps = _plan_batch(see, gl, l0, mask, lb, H, 1, cfg, 1, None)[1]
+    assert any(gcfg.otf_blue is not None for gcfg, _ in gps)
+    # chunk=1 so the 1-row blue subgroup passes the chunk-aware quantum
+    fit_a, mean_a, fm_a = process_batch(see, gl, l0, mask, lb, cfg=cfg,
+                                        chunk=1)
+    os.environ["MUSE_PSFR_NO_BLUE"] = "1"
+    try:
+        fit_b, mean_b, fm_b = process_batch(see, gl, l0, mask, lb,
+                                            cfg=cfg, chunk=1)
+    finally:
+        del os.environ["MUSE_PSFR_NO_BLUE"]
+    assert_allclose(fit_a, fit_b, rtol=0, atol=1e-5)
+    assert_allclose(mean_a, mean_b, rtol=0, atol=1e-6)
+    # the LM fit of the mean cube amplifies its ~3e-8 (f32-noise-level)
+    # perturbation by ~1e4 in the near-singular error-bar columns — the
+    # same amplification any float32 noise gets (docs/precision.md)
+    assert_allclose(fm_a, fm_b, rtol=0, atol=1e-3)
+
+
+def test_blue_guard_redo_on_pinned_too_small_window():
+    """A PINNED blue sub-window too small for the telemetry must trip
+    the guard and be recomputed with the full window (the redo clears
+    otf_blue); a pinned otf_blue also bypasses auto-bucketing (which
+    could otherwise assign otf_support == S_blue, an invalid pair)."""
+    lbda = np.array([500.0, 930.0])
+    tel = ([0.2], [0.01], [30.0], np.ones((1, 4)))
+    a = reconstruct_batch(*tel, lbda, cfg=BLUE_CFG.with_(otf_blue=(1, 128)),
+                          chunk=1)
+    b = reconstruct_batch(*tel, lbda,
+                          cfg=BLUE_CFG.with_(otf_support=256), chunk=1)
+    assert_allclose(a, b, rtol=0, atol=2e-6)

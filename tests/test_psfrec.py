@@ -150,7 +150,12 @@ def test_script(tmp_path, caplog):
         "BETA 2.73 2.55 2.23",
         "-" * 68,
     ]
-    records = [r for r in caplog.records if r.levelname != "DEBUG"]
+    records = [r for r in caplog.records if r.levelname != "DEBUG"
+               # the concurrent warm-up INFO line appears only in a
+               # fresh process with >=2 cold executables (order-
+               # dependent across the suite) and is not part of the
+               # reference log contract
+               and not r.message.startswith("warmed ")]
     assert records[6].message == "LBDA 5000 7000 9000"
     assert records[7].message == "FWHM 0.85 0.73 0.62"
     assert records[8].message == "BETA 2.73 2.55 2.23"
@@ -158,7 +163,12 @@ def test_script(tmp_path, caplog):
     # with colors and values
     caplog.clear()
     main(["--values", "1,0.7,25", "--logfile", str(tmp_path / "c.log")])
-    records = [r for r in caplog.records if r.levelname != "DEBUG"]
+    records = [r for r in caplog.records if r.levelname != "DEBUG"
+               # the concurrent warm-up INFO line appears only in a
+               # fresh process with >=2 cold executables (order-
+               # dependent across the suite) and is not part of the
+               # reference log contract
+               and not r.message.startswith("warmed ")]
     assert "LBDA" in records[6].message
     assert "FWHM" in records[7].message
     assert "BETA" in records[8].message
