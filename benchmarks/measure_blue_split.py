@@ -9,7 +9,8 @@ the blue and plain group configs are distinct jit keys, so both
 executable sets stay warm — toggled via the MUSE_PSFR_NO_BLUE kill
 switch at plan time.
 
-Usage: python benchmarks/measure_blue_split.py plan [rows] [npsflin]
+Usage: python benchmarks/measure_blue_split.py plan [rows] [npsflin] \
+              [chunk]
        python benchmarks/measure_blue_split.py night [rows] [chunk] \
               [reps] [npsflin]
 
@@ -37,10 +38,11 @@ def plan():
     from muse_psfr_tpu.parallel.batch import _plan_batch
     rows = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     npsflin = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    chunk = int(sys.argv[4]) if len(sys.argv) > 4 else 100
     seeing, GL, L0, mask = _rows(rows)
     lbda = np.linspace(490, 930, 35)
     groups = _plan_batch(seeing, GL, L0, mask, lbda, (100, 10000),
-                         npsflin, GalacsiConfig(), 100, None)[1]
+                         npsflin, GalacsiConfig(), chunk, None)[1]
     for gcfg, gidx in groups:
         print(json.dumps({
             "otf_support": gcfg.otf_support,
