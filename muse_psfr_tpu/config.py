@@ -219,6 +219,17 @@ class GalacsiConfig:
                                # extended device window guard; each
                                # distinct value is a separate pipeline
                                # compilation.  None = single window.
+    blue_tiers: int = 1        # max blue subgroups the planner may form
+                               # per support bucket (a LADDER of
+                               # descending segment lengths — admission
+                               # is graded in nb, so strong admitters
+                               # can run a longer blue segment than a
+                               # single group-wide nb allows).  Each
+                               # tier is one more compiled executable,
+                               # guarded by the same 4/3 score rule as
+                               # the single-subgroup split; env override
+                               # MUSE_PSFR_BLUE_TIERS.  1 = the
+                               # round-4-measured single-subgroup plan.
     zoom_anchor: str = "off"   # anchored-Taylor evaluation of the OTF
                                # damping exp(alpha_l * Dphi_d) inside the
                                # fused Pallas kernel: ONE anchor

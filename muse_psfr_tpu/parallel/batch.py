@@ -672,6 +672,19 @@ def estimate_otf_support(seeing, GL, L0, gs_mask, lbda_max_nm, cfg,
     return 0
 
 
+def _blue_tiers(cfg) -> int:
+    """Max blue tiers per group: ``MUSE_PSFR_BLUE_TIERS`` overrides
+    ``cfg.blue_tiers`` (defensive parse, like MUSE_PSFR_PULL_PART)."""
+    env = os.environ.get("MUSE_PSFR_BLUE_TIERS")
+    if env is not None:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            logger.warning("MUSE_PSFR_BLUE_TIERS=%r is not an integer; "
+                           "using cfg.blue_tiers", env)
+    return max(1, int(getattr(cfg, "blue_tiers", 1)))
+
+
 def _blue_split_plan(groups, seeing, GL, L0, gs_mask, lb_np, h_t,
                      wind_speed, npsflin, chunk_c):
     """Per-group blue-segment window planning (``cfg.otf_blue``).
@@ -704,6 +717,17 @@ def _blue_split_plan(groups, seeing, GL, L0, gs_mask, lb_np, h_t,
     the plain group's worst-case pad stays <= chunk-1, the same as the
     unsplit group's.
 
+    With ``cfg.blue_tiers > 1`` (env ``MUSE_PSFR_BLUE_TIERS``) the
+    planner may form a LADDER of blue subgroups per group — descending
+    segment lengths ``nb_1 > nb_2``, tier ``i`` keeping the
+    quantum-rounded admitters of ``nb_i`` not taken by a bluer tier —
+    because admission is graded in nb (e.g. 47% of full-window rows
+    admit S=256 out to 748.8 nm vs 72% at 658.2 nm): a single segment
+    forfeits the deeper saving of the strong admitters.  Every
+    executable beyond the group's own must buy a 4/3 score factor, the
+    same compile-count guard as the single-subgroup rule (which
+    ``blue_tiers=1`` reproduces exactly).
+
     Ceiling data: benchmarks/measure_perlambda_window.py (bench-night
     telemetry: the S=256 bucket admits S=128 for lambda <= 658 nm for
     100% of rows; ~72% of full-window rows admit S=256 there).
@@ -733,7 +757,10 @@ def _blue_split_plan(groups, seeing, GL, L0, gs_mask, lb_np, h_t,
         n_rows = gidx.size
         quantum = (chunk_c if gcfg.otf_support == 0
                    else max(1, chunk_c // 4))
-        best_nb, best_score, best_adm, best_keep, full_nb = 0, 0, None, 0, 0
+        # admission counts over the nb menu (monotone decreasing in nb;
+        # the expensive host model is memoised, so the whole menu costs
+        # one evaluation per row)
+        cnts, adms = {}, {}
         for nb in range(kl, nl, kl):
             adm = rows_windowable(seeing[gidx], GL[gidx], L0[gidx],
                                   gs_mask[gidx], float(lb_np[nb - 1]),
@@ -742,32 +769,67 @@ def _blue_split_plan(groups, seeing, GL, L0, gs_mask, lb_np, h_t,
             cnt = int(adm.sum())
             if cnt == 0:
                 break           # admission is monotone decreasing in nb
-            if cnt == n_rows:
-                full_nb = nb
-            # score on the CHUNK-ROUNDED row count the split would keep
-            # (a whole-group candidate needs no rounding)
-            keep = n_rows if cnt == n_rows else (cnt // quantum) * quantum
-            if nb * keep > best_score:
-                best_nb, best_score = nb, nb * keep
-                best_adm, best_keep = adm, keep
-        if best_nb == 0 or best_keep == 0:
+            cnts[nb], adms[nb] = cnt, adm
+        if not cnts:
             out.append((gcfg, gidx))
-        elif best_keep == n_rows or \
-                (full_nb and full_nb * n_rows >= 0.75 * best_score) or \
-                best_keep < max(1, n_rows // 4):
-            # whole-group annotation (or: the partial subgroup is too
-            # small to be worth its own executable)
-            if full_nb:
-                out.append((gcfg.with_(otf_blue=(full_nb, Sb)), gidx))
-            else:
-                out.append((gcfg, gidx))
-        else:
-            sel = np.nonzero(best_adm)[0][:best_keep]
-            blue_rows = np.zeros(n_rows, bool)
-            blue_rows[sel] = True
-            out.append((gcfg.with_(otf_blue=(best_nb, Sb)),
-                        gidx[blue_rows]))
-            out.append((gcfg, gidx[~blue_rows]))
+            continue
+        full_nb = max((nb for nb, c in cnts.items() if c == n_rows),
+                      default=0)
+        tiers = _blue_tiers(gcfg)
+        # enumerate blue LADDERS: descending (nb_1 > nb_2 > ...) tier
+        # segment lengths, tier i keeping the quantum-rounded admitters
+        # of nb_i not already taken by a bluer tier.  Score = sum of
+        # nb_i * keep_i (saved exp area per row is proportional to nb at
+        # a common Sb); each executable beyond the group's own must buy
+        # a 4/3 score factor (the measured compile-count guard), i.e.
+        # candidates are ranked by score * 0.75^extra_executables.
+        # tiers=1 reproduces the single-subgroup behaviour exactly.
+        nbs_asc = sorted(cnts)
+        best = None   # (value, score, ladder=[(nb, keep)], extra)
+        if full_nb:   # whole-group annotation: no extra executable
+            best = (float(full_nb * n_rows), full_nb * n_rows,
+                    [(full_nb, n_rows)], 0)
+        from itertools import combinations
+        for t in range(1, max(1, tiers) + 1):
+            # ascending enumeration keeps the historical smallest-nb
+            # tie-break of the single-subgroup planner; each ladder
+            # itself runs bluest (largest nb) tier first
+            for asc in combinations(nbs_asc, t):
+                ladder = asc[::-1]
+                taken, keeps = 0, []
+                for nb in ladder:
+                    avail = cnts[nb] - taken
+                    # a tier that admits the whole group absorbs every
+                    # remaining row (no plain remainder -> no rounding)
+                    keep = (n_rows - taken if cnts[nb] == n_rows
+                            else (avail // quantum) * quantum)
+                    if keep <= 0:
+                        break
+                    keeps.append((nb, keep))
+                    taken += keep
+                if len(keeps) < t or taken < max(1, n_rows // 4):
+                    continue    # too small to be worth its executables
+                extra = len(keeps) - (1 if taken == n_rows else 0)
+                score = sum(nb * k for nb, k in keeps)
+                value = score * 0.75 ** extra
+                if best is None or value > best[0]:
+                    best = (value, score, keeps, extra)
+        if best is None:
+            out.append((gcfg, gidx))
+            continue
+        _, _, keeps, _ = best
+        if len(keeps) == 1 and keeps[0][1] == n_rows:
+            out.append((gcfg.with_(otf_blue=(keeps[0][0], Sb)), gidx))
+            continue
+        taken_rows = np.zeros(n_rows, bool)
+        for nb, keep in keeps:
+            sel = np.nonzero(adms[nb] & ~taken_rows)[0][:keep]
+            tier_rows = np.zeros(n_rows, bool)
+            tier_rows[sel] = True
+            taken_rows |= tier_rows
+            out.append((gcfg.with_(otf_blue=(nb, Sb)), gidx[tier_rows]))
+        if not taken_rows.all():
+            out.append((gcfg, gidx[~taken_rows]))
     return out
 
 

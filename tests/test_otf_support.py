@@ -711,3 +711,108 @@ def test_blue_guard_redo_on_pinned_too_small_window():
     b = reconstruct_batch(*tel, lbda,
                           cfg=BLUE_CFG.with_(otf_support=256), chunk=1)
     assert_allclose(a, b, rtol=0, atol=2e-6)
+
+
+def test_blue_tiers_ladder_plan(monkeypatch):
+    """cfg.blue_tiers=2: graded admission forms a two-tier ladder
+    (strong admitters run a longer blue segment) when the extra
+    executable buys a 4/3 score factor; tiers=1 reproduces the
+    single-subgroup plan on the same data (whole-group annotation
+    here, since every row admits the short segment)."""
+    from muse_psfr_tpu.parallel import batch as B
+
+    lb = np.linspace(500.0, 900.0, 8)
+    gcfg = BLUE_CFG.with_(otf_support=0)   # full bucket, S=256 -> Sb=128
+    gidx = np.arange(8)
+
+    def fake_windowable(seeing, GL, L0, gs_mask, lbda_max_nm, cfg, S,
+                        h=None, wind_speed=None, npsflin=1, thresh=1e-12):
+        # rows 0-3 admit the blue window out to lb[3]=~671 nm (nb=4);
+        # EVERY row admits out to lb[1]=~557 nm (nb=2); none further
+        if lbda_max_nm <= lb[1] + 1e-9:
+            return np.ones(8, bool)
+        if lbda_max_nm <= lb[3] + 1e-9:
+            return np.arange(8) < 4
+        return np.zeros(8, bool)
+
+    monkeypatch.setattr(B, "rows_windowable", fake_windowable)
+    args = (np.ones(8), np.ones(8), np.full(8, 25.0), np.ones((8, 4)),
+            lb, H, None, 1, 2)
+
+    for tiers, via_env in ((2, False), (2, True)):
+        cfg_t = gcfg if via_env else gcfg.with_(blue_tiers=2)
+        if via_env:
+            monkeypatch.setenv("MUSE_PSFR_BLUE_TIERS", "2")
+        else:
+            monkeypatch.delenv("MUSE_PSFR_BLUE_TIERS", raising=False)
+        out = B._blue_split_plan([(cfg_t, gidx)], *args)
+        assert [(g.otf_blue, sorted(i.tolist())) for g, i in out] == [
+            ((4, 128), [0, 1, 2, 3]), ((2, 128), [4, 5, 6, 7])]
+
+    monkeypatch.delenv("MUSE_PSFR_BLUE_TIERS", raising=False)
+    out1 = B._blue_split_plan([(gcfg, gidx)], *args)
+    assert [(g.otf_blue, i.size) for g, i in out1] == [((2, 128), 8)]
+
+    # defensive env parse: a junk value falls back to cfg.blue_tiers
+    monkeypatch.setenv("MUSE_PSFR_BLUE_TIERS", "two")
+    assert B._blue_tiers(gcfg) == 1
+    assert B._blue_tiers(gcfg.with_(blue_tiers=3)) == 3
+    monkeypatch.setenv("MUSE_PSFR_BLUE_TIERS", "2")
+    assert B._blue_tiers(gcfg) == 2
+
+
+def test_blue_tiers_ladder_guard_rejects_small_second_tier(monkeypatch):
+    """A second tier whose quantum-rounded increment cannot buy the 4/3
+    score factor is not split off: the plan stays single-subgroup."""
+    from muse_psfr_tpu.parallel import batch as B
+
+    lb = np.linspace(500.0, 900.0, 8)
+    gcfg = BLUE_CFG.with_(otf_support=0)
+    gidx = np.arange(8)
+
+    def fake_windowable(seeing, GL, L0, gs_mask, lbda_max_nm, cfg, S,
+                        h=None, wind_speed=None, npsflin=1, thresh=1e-12):
+        # 4 rows admit nb=4, 7 (not all) admit nb=2: the tier-2
+        # increment rounds to 2 rows -> score 16+4=20, extra=2,
+        # value 11.25 < the single nb=4 subgroup's 12
+        if lbda_max_nm <= lb[1] + 1e-9:
+            return np.arange(8) < 7
+        if lbda_max_nm <= lb[3] + 1e-9:
+            return np.arange(8) < 4
+        return np.zeros(8, bool)
+
+    monkeypatch.setattr(B, "rows_windowable", fake_windowable)
+    args = (np.ones(8), np.ones(8), np.full(8, 25.0), np.ones((8, 4)),
+            lb, H, None, 1, 2)
+    out = B._blue_split_plan([(gcfg.with_(blue_tiers=2), gidx)], *args)
+    assert [(g.otf_blue, i.size) for g, i in out] == [
+        ((4, 128), 4), (None, 4)]
+
+
+def test_process_batch_blue_tiers_matches_noblue():
+    """End-to-end: a tiered blue plan changes values only within the
+    certified window-truncation budget (same contract as the
+    single-tier split)."""
+    import os
+    from muse_psfr_tpu.parallel.batch import process_batch
+    cfg = BLUE_CFG
+    lb = np.linspace(500.0, 900.0, 4)
+    see = np.array([0.9, 1.4, 0.5])
+    gl = np.array([0.85, 0.8, 0.85])
+    l0 = np.full(3, 25.0)
+    mask = np.ones((3, 4))
+    os.environ["MUSE_PSFR_BLUE_TIERS"] = "2"
+    try:
+        fit_a, mean_a, fm_a = process_batch(see, gl, l0, mask, lb,
+                                            cfg=cfg, chunk=1)
+    finally:
+        del os.environ["MUSE_PSFR_BLUE_TIERS"]
+    os.environ["MUSE_PSFR_NO_BLUE"] = "1"
+    try:
+        fit_b, mean_b, fm_b = process_batch(see, gl, l0, mask, lb,
+                                            cfg=cfg, chunk=1)
+    finally:
+        del os.environ["MUSE_PSFR_NO_BLUE"]
+    assert_allclose(fit_a, fit_b, rtol=0, atol=1e-5)
+    assert_allclose(mean_a, mean_b, rtol=0, atol=1e-6)
+    assert_allclose(fm_a, fm_b, rtol=0, atol=1e-3)
