@@ -13,6 +13,7 @@ program; the batch axis is
   cubes, so scaling is linear.
 """
 
+import dataclasses
 import os
 import threading
 import time
@@ -678,11 +679,14 @@ def _blue_tiers(cfg) -> int:
     env = os.environ.get("MUSE_PSFR_BLUE_TIERS")
     if env is not None:
         try:
-            return max(1, int(env))
+            # the ladder enumeration is C(menu, tiers) per group: clamp
+            # to a small constant so a user-forced value cannot blow up
+            # host-side planning combinatorially
+            return min(4, max(1, int(env)))
         except ValueError:
             logger.warning("MUSE_PSFR_BLUE_TIERS=%r is not an integer; "
                            "using cfg.blue_tiers", env)
-    return max(1, int(getattr(cfg, "blue_tiers", 1)))
+    return min(4, max(1, int(getattr(cfg, "blue_tiers", 1))))
 
 
 def _blue_split_plan(groups, seeing, GL, L0, gs_mask, lb_np, h_t,
@@ -785,10 +789,20 @@ def _blue_split_plan(groups, seeing, GL, L0, gs_mask, lb_np, h_t,
         # candidates are ranked by score * 0.75^extra_executables.
         # tiers=1 reproduces the single-subgroup behaviour exactly.
         nbs_asc = sorted(cnts)
-        best = None   # (value, score, ladder=[(nb, keep)], extra)
-        if full_nb:   # whole-group annotation: no extra executable
-            best = (float(full_nb * n_rows), full_nb * n_rows,
-                    [(full_nb, n_rows)], 0)
+        # bound C(menu, tiers): with a fine wavelength grid the nb menu
+        # can reach hundreds of entries; thin to <=16 evenly spaced
+        # (keeping the reddest/highest-scoring end exactly) before
+        # enumerating ladders — full_nb and max(nbs) always survive
+        if len(nbs_asc) > 16:
+            idx = np.unique(np.round(
+                np.linspace(0, len(nbs_asc) - 1, 16)).astype(int))
+            keep_set = {nbs_asc[i] for i in idx}
+            if full_nb:
+                keep_set.add(full_nb)
+            nbs_asc = sorted(keep_set)
+        whole = ((float(full_nb * n_rows), full_nb * n_rows,
+                  [(full_nb, n_rows)], 0) if full_nb else None)
+        best = whole   # (value, score, ladder=[(nb, keep)], extra)
         from itertools import combinations
         for t in range(1, max(1, tiers) + 1):
             # ascending enumeration keeps the historical smallest-nb
@@ -807,13 +821,21 @@ def _blue_split_plan(groups, seeing, GL, L0, gs_mask, lb_np, h_t,
                         break
                     keeps.append((nb, keep))
                     taken += keep
-                if len(keeps) < t or taken < max(1, n_rows // 4):
-                    continue    # too small to be worth its executables
+                if len(keeps) < t:
+                    continue    # a shorter ladder; already enumerated
                 extra = len(keeps) - (1 if taken == n_rows else 0)
                 score = sum(nb * k for nb, k in keeps)
                 value = score * 0.75 ** extra
                 if best is None or value > best[0]:
                     best = (value, score, keeps, extra)
+        # the minimum-size guard applies to the SELECTED candidate (a
+        # guard-failing argmax falls back to whole-group annotation or
+        # plain, never to a lower-score ladder) — the single-subgroup
+        # planner's historical semantics, which blue_tiers=1 must
+        # reproduce bit-for-bit
+        if best is not None and \
+                sum(k for _, k in best[2]) < max(1, n_rows // 4):
+            best = whole
         if best is None:
             out.append((gcfg, gidx))
             continue
@@ -865,17 +887,21 @@ def _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg, chunk,
     # QUIRK, the single home of the crop formula) — the in-graph f32
     # quotient can land on the wrong side
     from ..otf.psf import lambda_crop_size
-    npixc = lambda_crop_size(lb_np, cfg)
-    npixc_max = int(np.asarray(npixc).max())
+    # host copy: the plan holds no device arrays (executors pass the
+    # array to the jit, where the aval — i32[nl] — is what matters)
+    npixc = np.asarray(lambda_crop_size(lb_np, cfg))
+    npixc_max = int(npixc.max())
     if npixc_max > cfg.dim:
         raise ValueError(
             f"wavelength {lb_np.min():.1f} nm needs a {npixc_max} px crop, "
             f"larger than the {cfg.dim}^2 PSD grid; raise cfg.dim or the "
             f"minimum wavelength")
     h_t = tuple(float(x) for x in np.asarray(h, dtype=np.float64).ravel())
-    # from the normalised 1-D host copy: a scalar lbda otherwise becomes
-    # a 0-d device array and crashes deep in the pipeline
-    lbda = jnp.asarray(lb_np, cfg.dtype)
+    # planning stays device-free: the normalised 1-D HOST copy is
+    # returned; executors convert with ``jnp.asarray(lb_np, cfg.dtype)``
+    # (a scalar lbda would otherwise become a 0-d device array and crash
+    # deep in the pipeline)
+    lbda = lb_np
     seeing = np.atleast_1d(np.asarray(seeing, dtype=np.float64))
     GL = np.atleast_1d(np.asarray(GL, dtype=np.float64))
     L0 = np.atleast_1d(np.asarray(L0, dtype=np.float64))
@@ -974,6 +1000,156 @@ def _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg, chunk,
             npixc)
 
 
+@dataclasses.dataclass(frozen=True)
+class GroupPlan:
+    """One bucket group's dispatch schedule (pure data, no device state).
+
+    ``rows`` are input-row indices in dispatch order; the group's padded
+    telemetry table is ``table[rows]`` extended by ``sum(sizes) -
+    len(rows)`` repeats of its last row.  ``sizes[i]`` is the i-th
+    dispatch's static chunk size (the jit static key together with
+    ``cfg``), ``nvals[i]`` how many of its rows are real, ``offs[i]``
+    its row offset into the padded group table.
+    """
+    cfg: GalacsiConfig
+    rows: np.ndarray
+    sizes: tuple
+    nvals: tuple
+    offs: tuple
+
+    @property
+    def n_pad(self) -> int:
+        return int(sum(self.sizes)) - int(self.rows.shape[0])
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchPlan:
+    """The complete, inspectable plan of a batch run.
+
+    A pure function of (telemetry, wavelength grid, npsflin, cfg, chunk,
+    mesh size) — no device arrays, no side effects — produced by
+    :func:`plan_batch` and executed by :func:`process_batch`.  Golden
+    plans for the bench nights are pinned by
+    ``tests/test_batch_plan.py`` so planner changes that alter the
+    dispatch schedule are caught as diffs, not throughput regressions.
+    """
+    cfg: GalacsiConfig            # resolved base config
+    chunk: int                    # clamped main chunk size
+    npsflin: int
+    use_tail: bool
+    lbda: np.ndarray              # normalised host wavelength grid [nm]
+    npixc: np.ndarray             # per-wavelength crop sizes (host f64)
+    h: tuple                      # layer altitudes
+    wind_speed: float
+    table: np.ndarray             # (B, 7) normalised telemetry
+    groups: tuple                 # of GroupPlan, dispatch order
+
+    def executable_keys(self):
+        """The distinct (group_cfg, chunk_size) executables the dispatch
+        loop needs — the compile set a warm-up must cover."""
+        keys = []
+        for g in self.groups:
+            for s in g.sizes:
+                if (g.cfg, s) not in keys:
+                    keys.append((g.cfg, s))
+        return keys
+
+    def summary(self) -> dict:
+        """JSON-serializable plan summary (golden-plan test target).
+
+        Group configs are recorded as deltas against the resolved base
+        config, so new planner dimensions show up automatically and the
+        summary stays insensitive to backend-resolved base fields
+        (``use_fft`` on FFT-less runtimes) that do not differ per group.
+        """
+        def _j(v):
+            if isinstance(v, (np.integer,)):
+                return int(v)
+            if isinstance(v, (np.floating,)):
+                return float(v)
+            if isinstance(v, (tuple, list)):
+                return [_j(x) for x in v]
+            return v
+
+        groups = []
+        for g in self.groups:
+            delta = {}
+            for f in dataclasses.fields(GalacsiConfig):
+                a, b = getattr(self.cfg, f.name), getattr(g.cfg, f.name)
+                if a != b:
+                    delta[f.name] = _j(b)
+            groups.append({
+                "cfg_delta": delta,
+                "rows": [int(i) for i in g.rows],
+                "sizes": [int(s) for s in g.sizes],
+                "nvals": [int(n) for n in g.nvals],
+                "offs": [int(o) for o in g.offs],
+            })
+        return {
+            "chunk": int(self.chunk),
+            "npsflin": int(self.npsflin),
+            "use_tail": bool(self.use_tail),
+            "nl": int(self.lbda.size),
+            "npixc": [int(n) for n in np.asarray(self.npixc)],
+            "n_rows": int(self.table.shape[0]),
+            "groups": groups,
+        }
+
+
+def _tail_size(chunk_n: int, rem: int) -> int:
+    """Smallest size from the fixed tail menu {c/4, c/2, 3c/4} covering
+    ``rem`` leftover rows (falls back to the full chunk)."""
+    for num, den in ((1, 4), (1, 2), (3, 4)):
+        t = max(1, chunk_n * num // den)
+        if t >= rem:
+            return t
+    return chunk_n
+
+
+def plan_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
+               npsflin: int = 1, cfg: GalacsiConfig = None,
+               chunk: int = 8, mesh: Mesh = None, force_full=False,
+               use_tail: bool = None) -> BatchPlan:
+    """Build the complete :class:`BatchPlan` for a batch run.
+
+    Pure host-side planning: validation, backend config resolution,
+    OTF-support bucketing, blue-segment splits, zoom-anchor resolution
+    (:func:`_plan_batch`), then the per-group dispatch schedule —
+    tail-chunk policy (the last partial chunk of a REDUCED-WINDOW bucket
+    dispatches at the smallest covering size from the fixed menu
+    {c/4, c/2, 3c/4}; full-window groups always pad so the guard-redo
+    can reuse their executable; disabled on the mesh path where chunks
+    are mesh-multiples, and by ``MUSE_PSFR_NO_TAIL=1``) and padding
+    counts.  No device arrays are created.
+    """
+    seeing = np.atleast_1d(np.asarray(seeing, np.float64))
+    GL = np.atleast_1d(np.asarray(GL, np.float64))
+    L0 = np.atleast_1d(np.asarray(L0, np.float64))
+    gs_mask = np.atleast_2d(np.asarray(gs_mask, np.float64))
+    (cfg_r, groups, chunk_n, table, lb_np, h_t, wind_speed, sharding,
+     npixc) = _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
+                          chunk, mesh, force_full)
+    if use_tail is None:
+        use_tail = (not force_full
+                    and not os.environ.get("MUSE_PSFR_NO_TAIL"))
+    gplans = []
+    for gcfg, gidx in groups:
+        gb = gidx.shape[0]
+        n_main, rem = divmod(gb, chunk_n)
+        if rem and use_tail and sharding is None and gcfg.otf_support:
+            tail = _tail_size(chunk_n, rem)
+        else:
+            tail = chunk_n if rem else 0
+        sizes = tuple([chunk_n] * n_main + ([tail] if rem else []))
+        nvals = tuple([chunk_n] * n_main + ([rem] if rem else []))
+        offs = tuple(int(o) for o in
+                     np.concatenate([[0], np.cumsum(sizes)[:-1]]))
+        gplans.append(GroupPlan(gcfg, gidx, sizes, nvals, offs))
+    return BatchPlan(cfg_r, chunk_n, npsflin, bool(use_tail), lb_np,
+                     npixc, h_t, float(wind_speed), table,
+                     tuple(gplans))
+
+
 def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                 npsflin: int = 1, cfg: GalacsiConfig = None,
                 chunk: int = 8, mesh: Mesh = None, force_full=False):
@@ -997,6 +1173,7 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     (cfg, groups, chunk, table, lbda, h_t, wind_speed, sharding,
      npixc) = _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
                           chunk, mesh, force_full)
+    lbda = jnp.asarray(lbda, cfg.dtype)
     mesh = None if sharding is None else sharding.mesh
 
     if sharding is None and not force_full:
@@ -1227,10 +1404,12 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     gs_mask = np.atleast_2d(np.asarray(gs_mask, np.float64))
 
     with stage_timer("batch.plan"):
-        (cfg_r, groups, chunk_n, table, lbda_j, h_t, wind_speed, sharding,
-         npixc_j) = \
-            _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
-                        chunk, mesh, _force_full)
+        plan = plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
+                          chunk, mesh, _force_full)
+    cfg_r, chunk_n, table = plan.cfg, plan.chunk, plan.table
+    h_t, wind_speed, npixc_j = plan.h, plan.wind_speed, plan.npixc
+    lbda_j = jnp.asarray(plan.lbda, cfg_r.dtype)
+    sharding = None if mesh is None else NamedSharding(mesh, P("rows"))
 
     fits, idxs, psums, guards = [], [], [], []
     gfree = []             # per chunk: guard structurally +inf (no window)
@@ -1245,8 +1424,7 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     # MUSE_PSFR_NO_OVERLAP=1, tune with MUSE_PSFR_PULL_PART (chunks).
     # Default: half the night's chunks, capped to [2, 8]; nights under
     # 4 chunks keep the single minimum-latency pull.
-    total_chunks = sum((gidx.shape[0] + chunk_n - 1) // chunk_n
-                       for _, gidx in groups)
+    total_chunks = sum(len(g.sizes) for g in plan.groups)
     default_part = (max(2, min(8, total_chunks // 2))
                     if total_chunks >= 4 else 0)
     if _return_parts or os.environ.get("MUSE_PSFR_NO_OVERLAP"):
@@ -1304,57 +1482,19 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                 or len(fits) == total_chunks - 1):
             _cut_part()
 
-    # tail-chunk policy: the last (partial) chunk of a REDUCED-WINDOW
-    # bucket is dispatched at the smallest size from the FIXED menu
-    # {chunk//4, chunk//2, 3*chunk//4} that covers the remainder,
-    # instead of padding up to a full chunk.  The menu keeps the shape
-    # set static across nights (each size is one extra compile per
-    # bucket, once per process, NOT one per night composition), while
-    # the padded rows it drops are real device work — e.g. the 1000-row
-    # bench night at chunk=100 pads 23 windowed rows instead of 98.
-    # FULL-WINDOW groups always pad to the full chunk: the guard-redo
-    # path recomputes tripped rows with the full-window (chunk_n, 7)
-    # executable, so whenever a full-window group dispatched at all that
-    # shape already exists and a redo never compiles (and the
-    # full-bucket tail measured no night-level benefit, RESULTS.md).
-    # All-windowed nights have no such group; the warm-up below includes
-    # the redo executable for them, and on lazy (non-warming)
-    # deployments a guard trip there pays one mid-night compile — rare
-    # by the estimator's 3-decade margin.  Also disabled on
-    # the mesh path (chunks are rounded to mesh multiples there).
-    # A/B knob: MUSE_PSFR_NO_TAIL=1.
-    use_tail = (not _force_full
-                and not os.environ.get("MUSE_PSFR_NO_TAIL"))
-
-    def _tail_size(rem):
-        # quarter, half, three-quarter sizes: the 3c/4 step matters for
-        # device-bound reduced-window buckets (e.g. 68 windowed rows at
-        # chunk=25 -> 25 + 25 + tail 18 instead of three full chunks
-        # with 7 padded rows of real device work; full-window groups
-        # never reach here — they always pad, see the policy above)
-        for num, den in ((1, 4), (1, 2), (3, 4)):
-            t = max(1, chunk_n * num // den)
-            if t >= rem:
-                return t
-        return chunk_n
-
+    # tail-chunk policy (the last partial chunk of a REDUCED-WINDOW
+    # bucket dispatches at the smallest covering size from the fixed
+    # {c/4, c/2, 3c/4} menu; full-window groups always pad so the
+    # guard-redo can reuse their executable; A/B knob MUSE_PSFR_NO_TAIL)
+    # and dispatch schedule come from the plan — see :func:`plan_batch`.
+    # Only the padded telemetry slices are materialised here.
     plans = []
-    for gcfg, gidx in groups:
-        gb = gidx.shape[0]
-        gt = table[gidx]
-        n_main, rem = divmod(gb, chunk_n)
-        if rem and use_tail and sharding is None and gcfg.otf_support:
-            tail = _tail_size(rem)
-        else:
-            tail = chunk_n if rem else 0
-        sizes = [chunk_n] * n_main + ([tail] if rem else [])
-        nvals = [chunk_n] * n_main + ([rem] if rem else [])
-        offs = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(int)
-        n_pad = int(sum(sizes)) - gb
-        if n_pad:
-            gt = np.concatenate([gt, np.repeat(gt[-1:], n_pad, axis=0)],
-                                axis=0)
-        plans.append((gcfg, gidx, gt, sizes, nvals, offs))
+    for g in plan.groups:
+        gt = table[g.rows]
+        if g.n_pad:
+            gt = np.concatenate(
+                [gt, np.repeat(gt[-1:], g.n_pad, axis=0)], axis=0)
+        plans.append((g.cfg, g.rows, gt, g.sizes, g.nvals, g.offs))
 
     if sharding is None and not _force_full:
         # compile every executable the dispatch loop will need,

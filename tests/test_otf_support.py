@@ -816,3 +816,69 @@ def test_process_batch_blue_tiers_matches_noblue():
     assert_allclose(fit_a, fit_b, rtol=0, atol=1e-5)
     assert_allclose(mean_a, mean_b, rtol=0, atol=1e-6)
     assert_allclose(fm_a, fm_b, rtol=0, atol=1e-3)
+
+
+def test_blue_guard_applies_to_argmax_candidate(monkeypatch):
+    """The minimum-size guard must bind the SELECTED (argmax-score)
+    candidate: when the best subgroup rounds below n_rows//4 the
+    planner falls back to whole-group annotation (or plain), never to
+    a lower-score subgroup that happens to pass the guard — the
+    single-subgroup planner's historical semantics, which
+    blue_tiers=1 reproduces (ADVICE r4)."""
+    from muse_psfr_tpu.parallel import batch as pb
+    cfg = BLUE_CFG                       # otf_window (0, 256), kl=2
+    n_rows = 16
+    lb = np.linspace(500.0, 900.0, 8)    # nb menu {2, 4, 6}
+    see = np.full(n_rows, 1.0)
+    gl = np.full(n_rows, 0.7)
+    l0 = np.full(n_rows, 25.0)
+    mask = np.ones((n_rows, 4))
+    gidx = np.arange(n_rows)
+
+    # admission fixture: nb=2 -> rows 0..3; nb=4,6 -> rows 0..2 (nested,
+    # monotone non-increasing).  quantum=chunk=2, guard = n_rows//4 = 4:
+    #   nb=6: keep=2, score 12  <- argmax, FAILS the guard
+    #   nb=2: keep=4, score  8  <- passes the guard
+    def fake_windowable(seeing, GL, L0, gs_mask, lbda_max_nm, cfg_, S,
+                        **kw):
+        nb = int(np.searchsorted(lb, lbda_max_nm - 1e-9) + 1)
+        adm = np.zeros(len(seeing), bool)
+        adm[: 4 if nb <= 2 else 3] = True
+        return adm
+
+    monkeypatch.setattr(pb, "rows_windowable", fake_windowable)
+    monkeypatch.delenv("MUSE_PSFR_NO_BLUE", raising=False)
+    groups = pb._blue_split_plan([(cfg, gidx)], see, gl, l0, mask, lb,
+                                 (100.0, 10000.0), 12.5, 1, chunk_c=2)
+    # no candidate passes at the argmax and there is no full_nb: plain
+    assert len(groups) == 1 and groups[0][0].otf_blue is None
+
+    # same shape but nb=2 admits ALL rows (full_nb=2) and a deep-blue
+    # argmax still fails the guard -> whole-group annotation with nb=2
+    lb40 = np.linspace(500.0, 900.0, 40)  # menu up to nb=38
+
+    def fake_windowable2(seeing, GL, L0, gs_mask, lbda_max_nm, cfg_, S,
+                         **kw):
+        nb = int(np.searchsorted(lb40, lbda_max_nm - 1e-9) + 1)
+        adm = np.zeros(len(seeing), bool)
+        adm[: n_rows if nb <= 2 else 3] = True
+        return adm
+
+    monkeypatch.setattr(pb, "rows_windowable", fake_windowable2)
+    groups2 = pb._blue_split_plan([(cfg, gidx)], see, gl, l0, mask,
+                                  lb40, (100.0, 10000.0), 12.5, 1,
+                                  chunk_c=2)
+    assert len(groups2) == 1
+    assert groups2[0][0].otf_blue == (2, 128)
+    assert groups2[0][1].size == n_rows
+
+
+def test_blue_tiers_env_clamped(monkeypatch):
+    """MUSE_PSFR_BLUE_TIERS / cfg.blue_tiers are clamped to <=4 so the
+    C(menu, tiers) ladder enumeration stays bounded (ADVICE r4)."""
+    from muse_psfr_tpu.parallel.batch import _blue_tiers
+    monkeypatch.setenv("MUSE_PSFR_BLUE_TIERS", "100")
+    assert _blue_tiers(BLUE_CFG) == 4
+    monkeypatch.delenv("MUSE_PSFR_BLUE_TIERS")
+    assert _blue_tiers(BLUE_CFG.with_(blue_tiers=99)) == 4
+    assert _blue_tiers(BLUE_CFG.with_(blue_tiers=2)) == 2
