@@ -135,6 +135,10 @@ def _emit(block, args):
 def main(args=None):
     args = build_parser().parse_args(args)
     logger.info("MUSE-PSFR version %s", __version__)
+    # second fresh-process run then reuses this run's executables on
+    # local-compile backends (utils/compile_cache.py; no-op on axon)
+    from .utils.compile_cache import ensure_compile_cache
+    ensure_compile_cache()
 
     source, header_line = _resolve_input(args)
 

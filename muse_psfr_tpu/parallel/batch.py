@@ -873,6 +873,8 @@ def _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg, chunk,
     sharding)`` with ``groups`` a list of ``(group_cfg, row_indices)``.
     """
     from ..psd.model import effective_wind_speed
+    from ..utils.compile_cache import ensure_compile_cache
+    ensure_compile_cache()   # idempotent; must precede the first compile
     cfg = resolve_fft_mode(cfg or GalacsiConfig())
     wind_speed = effective_wind_speed(h, cfg)
 

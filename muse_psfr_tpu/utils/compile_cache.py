@@ -1,0 +1,88 @@
+"""Persistent XLA compilation cache wiring (cold-start mitigation).
+
+The production pipeline compiles in minutes per shape per process while
+the computation itself takes milliseconds — a fresh ``muse-psfr
+--values 1,0.7,25`` run pays minutes of compile for ~0.05 s of compute
+(the pure-NumPy reference pays zero compile; reference cli.py:63-64
+runs in one process).  JAX's persistent compilation cache removes that
+cost from every process after the first **on backends that compile
+locally**: the second fresh-process run loads the serialized
+executables in seconds.
+
+Deployment rules (mirrors ``parallel.batch._warm_enabled``):
+
+* **ON by default for local-compile backends** (CPU, directly-attached
+  TPU): cache dir ``$XDG_CACHE_HOME/muse_psfr_tpu/jax_cache`` (or
+  ``~/.cache/...``).
+* **OFF on the axon remote-compile tunnel**: cached executables fail
+  with UNIMPLEMENTED at dispatch there (measured round 1; the compile
+  service owns the real executable).
+* ``MUSE_PSFR_COMPILE_CACHE=0`` forces off, ``=1`` forces on at the
+  default directory, ``=/some/path`` forces on there.
+
+Call :func:`ensure_compile_cache` before the first compile; it is
+idempotent and cheap, so every public entry point calls it.
+"""
+
+import os
+
+import jax
+
+from .log import get_logger
+
+logger = get_logger()
+
+_DONE = None     # tri-state: None = not decided, False = off, str = dir
+
+
+def _default_cache_dir() -> str:
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    return os.path.join(base, "muse_psfr_tpu", "jax_cache")
+
+
+def _backend_supports_cache() -> bool:
+    """Local-compile backends only: the axon remote-compile service
+    owns the real executable, and a cache hit there dispatches an
+    executable the runtime never built (UNIMPLEMENTED)."""
+    try:
+        pv = jax.devices()[0].client.platform_version
+    except Exception:  # noqa: BLE001 — unknown backend: assume local
+        return True
+    return "axon" not in pv.lower()
+
+
+def ensure_compile_cache() -> bool:
+    """Enable the persistent compilation cache when the deployment
+    supports it.  Returns whether the cache is active.  Idempotent:
+    the decision (including the backend sniff, which initializes the
+    backend) is made once per process."""
+    global _DONE
+    if _DONE is not None:
+        return bool(_DONE)
+    forced = os.environ.get("MUSE_PSFR_COMPILE_CACHE")
+    if forced is not None and forced.strip() in ("0", "false", "no", ""):
+        _DONE = False
+        return False
+    if forced is not None and forced.strip() not in ("1", "true", "yes"):
+        cache_dir = forced
+    else:
+        cache_dir = _default_cache_dir()
+        if forced is None and not _backend_supports_cache():
+            _DONE = False
+            return False
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # the night's executables are all multi-second compiles, but the
+        # CLI's tiny fit/plot helpers benefit too — cache everything
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _DONE = cache_dir
+        logger.debug("persistent compilation cache at %s", cache_dir)
+        return True
+    except Exception as err:  # noqa: BLE001 — cache is best-effort
+        logger.warning("could not enable the persistent compilation "
+                       "cache at %s: %s", cache_dir, err)
+        _DONE = False
+        return False
