@@ -107,21 +107,40 @@ def main():
     # pipeline and the cross-chunk concatenation)
     run(N_ROWS)
 
-    # best of 2x4 timed runs, the blocks ~30 s apart: the shared
-    # tunneled chip's run-to-run spread (chip sharing + command-latency
-    # jitter) is larger than the pipeline's own variation, so the
-    # minimum is the stable estimator, and contention bursts last
-    # seconds-to-minutes — spacing the blocks keeps one burst from
-    # poisoning every rep (each run costs ~0.1-0.5 s against a
-    # multi-minute warmup)
-    times = []
-    for block in range(2):
+    # best of (blocks x reps) timed runs spread over a multi-minute
+    # horizon: the shared tunneled chip's run-to-run spread (chip
+    # sharing + command-latency jitter) is larger than the pipeline's
+    # own variation, so the minimum is the stable estimator — and
+    # contention bursts last seconds-to-MINUTES (the round-4 capture
+    # was halved by one: 698 recorded vs 741/1364 re-measured, VERDICT
+    # r4), so the blocks are spaced 60-90 s and the horizon EXTENDS
+    # (up to BENCH_MAX_BLOCKS) while the per-block minima still spread
+    # more than 2x (a burst straddling the whole default horizon).
+    n_blocks = int(os.environ.get("BENCH_BLOCKS", "4"))
+    max_blocks = int(os.environ.get("BENCH_MAX_BLOCKS", "8"))
+    n_reps = int(os.environ.get("BENCH_REPS", "3"))
+    gap_s = float(os.environ.get("BENCH_BLOCK_GAP_S", "75"))
+    times, block_mins = [], []
+    block = 0
+    while block < n_blocks:
         if block:
-            time.sleep(float(os.environ.get("BENCH_BLOCK_GAP_S", "30")))
-        for _ in range(4):
+            time.sleep(gap_s)
+        bt = []
+        for _ in range(n_reps):
             t0 = time.perf_counter()
             fit, psf_mean, fit_mean = run(N_ROWS)
-            times.append(time.perf_counter() - t0)
+            bt.append(time.perf_counter() - t0)
+        times += bt
+        block_mins.append(min(bt))
+        block += 1
+        # burst detector: if the best and worst block disagree by >2x
+        # the night is riding a contention burst — extend the horizon
+        if (block == n_blocks and n_blocks < max_blocks
+                and max(block_mins) / min(block_mins) > 2.0):
+            n_blocks = min(max_blocks, n_blocks + 2)
+            print(f"# contention burst detected (block minima spread "
+                  f"{max(block_mins) / min(block_mins):.2f}x); extending "
+                  f"to {n_blocks} blocks", file=sys.stderr)
     elapsed = min(times)
     rows_per_sec = N_ROWS / elapsed
 
@@ -146,6 +165,8 @@ def main():
         "nl": NL,
         "elapsed_s": round(elapsed, 3),
         "rms_vs_f64_oracle": rms,
+        "block_minima_s": [round(t, 4) for t in block_mins],
+        "block_spread": round(max(block_mins) / min(block_mins), 3),
         "baseline_rows_per_sec": round(baseline["rows_per_sec"], 4),
         "device": str(jax.devices()[0]),
         "dtype": cfg.dtype,
