@@ -294,7 +294,7 @@ def fit_moffat_cube_host64(cube):
     global ``jax_enable_x64`` setting is untouched.
     """
     cube = np.asarray(cube, np.float64)
-    cpu = jax.devices("cpu")[0]
+    cpu = jax.local_devices(backend="cpu")[0]
     try:
         ctx = jax.enable_x64(True)  # public scoped-x64 API (jax >= 0.4.26)
     except Exception:  # fallback for a jax without scoped x64

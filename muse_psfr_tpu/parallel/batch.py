@@ -182,6 +182,29 @@ def _fit_vmapped(seeing, GL, L0, gs_mask, n_valid, lbda, npixc, h,
     return fit, psum, jnp.min(guard)
 
 
+_REPLICATE_JIT = {}
+
+
+def _replicate_for_host(mesh, *arrays):
+    """All-gather mesh-sharded chunk results so every process holds the
+    full value (SURVEY.md §5: the only collective the workload needs).
+
+    Multi-host only: a row-sharded ``jax.Array`` spans non-addressable
+    devices there, so the host-side sinks (``on_chunk``, the packed
+    pulls) cannot fetch it.  Single-process meshes skip the extra op —
+    the sharded arrays are fully addressable and the dispatch stays
+    bit-identical to round 4.
+    """
+    if mesh is None or jax.process_count() == 1:
+        return arrays
+    key = (mesh, len(arrays))
+    if key not in _REPLICATE_JIT:
+        sh = NamedSharding(mesh, P())
+        _REPLICATE_JIT[key] = jax.jit(
+            lambda *a: a, out_shardings=tuple(sh for _ in arrays))
+    return _REPLICATE_JIT[key](*arrays)
+
+
 from .mesh import default_mesh  # noqa: E402  (re-exported here for API)
 
 def _chunk_compile_hint(err, chunk):
@@ -482,7 +505,7 @@ def _split_on_cpu(seeing, GL, L0, gs_mask, h, wind_speed, npsflin, cfg):
         _SPLIT_CPU_CACHE[key] = jax.jit(jax.vmap(
             lambda s, g, l, m: simulate_psd_split(
                 s, g, l, m, h_t, float(wind_speed), npsflin, cfg)))
-    cpu = jax.devices("cpu")[0]
+    cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         w, delta = _SPLIT_CPU_CACHE[key](
             jnp.asarray(seeing), jnp.asarray(GL), jnp.asarray(L0),
@@ -607,7 +630,7 @@ def _ring_damping(seeing, GL, L0, gs_mask, cfg, h_t, wind_speed,
     u0, binoms = fitting_expansion_spec(cfg.dphi_split_l0_min,
                                         cfg.dphi_split_degree)
     from ..psd.model import seeing_to_r0
-    with jax.default_device(jax.devices("cpu")[0]):
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
         r0 = np.asarray(seeing_to_r0(see_v, cfg.lambda_ref), np.float64)
     nm2 = (cfg.lambda_ref * 1000.0 / (2 * np.pi)) ** 2
     du = 1.0 / (l0_v * l0_v) - u0
@@ -1250,6 +1273,7 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                                                   gcfg)
             except Exception as err:  # noqa: BLE001
                 _chunk_compile_hint(err, chunk)
+            res, guard = _replicate_for_host(mesh, res, guard)
             yield gidx[i * chunk:(i + 1) * chunk], res, guard
 
 
@@ -1526,23 +1550,45 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
 
     count = 0
     _t_disp = time.perf_counter()
-    for gcfg, gidx, gt, sizes, nvals, offs in plans:
+    # single-push night: ONE H2D transfer carries every group's padded
+    # telemetry (concatenated) and ONE more the global chunk offsets +
+    # valid counts.  Each H2D push on the tunneled link costs ~10-25 ms
+    # of command latency; the round-4 blue split raised the group count
+    # to 3-4, so per-group pushes (2 per group) had grown to 60-100+ ms
+    # of the short night's wall time.  Chunks dynamic-slice out of the
+    # one pushed table at their GLOBAL offset — values per chunk are
+    # bit-identical to the per-group push.
+    night_meta = None
+    if sharding is None and plans:
+        base = 0
+        all_offs, all_nvals, bounds = [], [], []
+        for _, _, gt_g, sizes_g, nvals_g, offs_g in plans:
+            all_offs += [base + o for o in offs_g]
+            all_nvals += list(nvals_g)
+            bounds.append((len(all_offs) - len(sizes_g), len(all_offs)))
+            base += gt_g.shape[0]
+        table_all_d = jnp.asarray(
+            np.concatenate([p[2] for p in plans], axis=0), cfg_r.dtype)
+        meta_all_d = jnp.asarray(np.stack([all_offs, all_nvals]),
+                                 jnp.int32)
+        night_meta = (table_all_d, meta_all_d, bounds)
+    for g_i, (gcfg, gidx, gt, sizes, nvals, offs) in enumerate(plans):
         n_chunks = len(sizes)
         # everything the per-chunk loop needs lives on device up front —
         # the loop then issues only async device ops (no H2D transfers,
         # no eager reductions): offset/valid-count scalars are sliced
-        # from one pushed array, and the fused _fit_chunk is the single
-        # real dispatch per chunk
-        meta_d = jnp.asarray(np.stack([offs, nvals]), jnp.int32)
+        # from the night's one pushed array, and the fused _fit_chunk is
+        # the single real dispatch per chunk
         if sharding is None:
-            table_d = jnp.asarray(gt, gcfg.dtype)
+            table_d, meta_all_d, bounds = night_meta
+            j0 = bounds[g_i][0]
             for i in range(n_chunks):
                 t = jax.lax.dynamic_slice_in_dim(
-                    table_d, meta_d[0, i], sizes[i], axis=0)
+                    table_d, meta_all_d[0, j0 + i], sizes[i], axis=0)
                 try:
                     fit, psum, guard = _fit_chunk(
-                        t, meta_d[1, i], lbda_j, npixc_j, h_t, wind_speed,
-                        npsflin, gcfg, fit_dtype)
+                        t, meta_all_d[1, j0 + i], lbda_j, npixc_j, h_t,
+                        wind_speed, npsflin, gcfg, fit_dtype)
                 except Exception as err:  # noqa: BLE001
                     _chunk_compile_hint(err, sizes[i])
                 n = int(nvals[i])
@@ -1564,6 +1610,7 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                     on_final(idxs[-1])
                 count += n
         else:
+            meta_d = jnp.asarray(np.stack([offs, nvals]), jnp.int32)
             table_d = jax.device_put(
                 jnp.asarray(gt.reshape(n_chunks, chunk_n, gt.shape[1]),
                             gcfg.dtype),
@@ -1577,6 +1624,8 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                         npsflin, gcfg, fit_dtype)
                 except Exception as err:  # noqa: BLE001
                     _chunk_compile_hint(err, chunk_n)
+                fit, psum, guard = _replicate_for_host(
+                    sharding.mesh, fit, psum, guard)
                 n = int(nvals[i])
                 fits.append(fit[:n])
                 idxs.append(gidx[int(offs[i]):int(offs[i]) + n])

@@ -527,3 +527,108 @@ def test_compile_concurrently_bounded_width(monkeypatch):
         jobs = [(lambda i=i: ran.append(i), 10 + i) for i in range(5)]
         B._compile_concurrently(jobs)
         assert sorted(ran) == list(range(5)), (width, ran)
+
+
+def test_process_batch_two_process_multihost(tmp_path):
+    """The PRODUCTION pipeline runs multi-host: ``process_batch``
+    executed across 2 processes x 2 CPU devices (a 4-device global
+    mesh over the DCN analog) must match the single-process result —
+    including a window-guard redo case (VERDICT r4 item 3; replaces
+    the reference's joblib row map, psfrec.py:1082-1083)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from muse_psfr_tpu.parallel.batch import process_batch
+    from tests.test_otf_support import CFG
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    # case A: plain 8-row batch (dim=512, 3 lambdas)
+    rng = np.random.default_rng(1)
+    B = 8
+    see_a = rng.uniform(0.6, 1.4, B)
+    gl_a = rng.uniform(0.3, 0.9, B)
+    l0_a = rng.uniform(10, 28, B)
+    mask_a = np.ones((B, 4))
+    mask_a[2, 3] = 0.0
+    # case B: forced small window; row 3 (weak damping) trips the
+    # guard -> surgical redo, executed under the mesh
+    see_b = np.array([1.0, 1.3, 1.1, 0.2])
+    gl_b = np.array([0.7, 0.5, 0.6, 0.01])
+    l0_b = np.array([25.0, 18.0, 22.0, 30.0])
+    mask_b = np.ones((4, 4))
+
+    worker = tmp_path / "mh_pipeline_worker.py"
+    worker.write_text(f"""
+import sys
+import jax
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_enable_x64', True)
+import numpy as np
+from muse_psfr_tpu.parallel.mesh import init_multihost
+mesh = init_multihost('localhost:{port}', 2, int(sys.argv[1]))
+assert len(jax.devices()) == 4 and len(jax.local_devices()) == 2
+from muse_psfr_tpu.config import GalacsiConfig
+from muse_psfr_tpu.parallel.batch import process_batch
+cfg = GalacsiConfig(dim=512, dim_pup=24, dimpsf=12,
+                    dtype='float64', fit_dtype='float64')
+lbda = np.linspace(600, 900, 3)
+rng = np.random.default_rng(1)
+B = 8
+see = rng.uniform(0.6, 1.4, B)
+gl = rng.uniform(0.3, 0.9, B)
+l0 = rng.uniform(10, 28, B)
+mask = np.ones((B, 4)); mask[2, 3] = 0.0
+fit, mean, fitm = process_batch(see, gl, l0, mask, lbda, cfg=cfg,
+                                chunk=4, mesh=mesh)
+np.savez(r'{tmp_path}/mh_a_' + sys.argv[1] + '.npz',
+         fit=fit, mean=mean, fitm=fitm)
+see_b = np.array([1.0, 1.3, 1.1, 0.2])
+gl_b = np.array([0.7, 0.5, 0.6, 0.01])
+l0_b = np.array([25.0, 18.0, 22.0, 30.0])
+calls = []
+fit_b, mean_b, fitm_b = process_batch(
+    see_b, gl_b, l0_b, np.ones((4, 4)), np.array([930.0]),
+    cfg=cfg.with_(otf_support=128), chunk=2, mesh=mesh,
+    on_chunk=lambda idx, p: calls.append(sorted(map(int, idx))))
+# chunk clamps to the 4-device mesh -> ONE chunk; row 3 trips the
+# guard, so the whole chunk is redelivered with corrected values
+assert calls.count([0, 1, 2, 3]) == 2, calls
+np.savez(r'{tmp_path}/mh_b_' + sys.argv[1] + '.npz',
+         fit=fit_b, mean=mean_b)
+print('MH_PIPELINE_OK', sys.argv[1])
+""")
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen([sys.executable, str(worker), str(i)],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
+        assert f"MH_PIPELINE_OK {i}" in out
+
+    cfg = CFG.with_(dtype="float64", fit_dtype="float64")
+    lbda = np.linspace(600, 900, 3)
+    fit_s, mean_s, fitm_s = process_batch(see_a, gl_a, l0_a, mask_a,
+                                          lbda, cfg=cfg, chunk=4)
+    fit_bs, mean_bs, _ = process_batch(
+        see_b, gl_b, l0_b, mask_b, np.array([930.0]),
+        cfg=cfg.with_(otf_support=128), chunk=2)
+    for pid in (0, 1):
+        a = np.load(tmp_path / f"mh_a_{pid}.npz")
+        assert_allclose(a["fit"], fit_s, rtol=0, atol=1e-4)
+        assert_allclose(a["mean"], mean_s, rtol=0, atol=1e-6)
+        assert_allclose(a["fitm"], fitm_s, rtol=0, atol=1e-4)
+        b = np.load(tmp_path / f"mh_b_{pid}.npz")
+        assert_allclose(b["fit"], fit_bs, rtol=0, atol=1e-4)
+        assert_allclose(b["mean"], mean_bs, rtol=0, atol=1e-6)
