@@ -250,6 +250,9 @@ def dphi_base(psd, cfg: GalacsiConfig):
 
 
 _DPHI_BASIS_CACHE = {}
+# disk-format version of the host-cached basis tables (bump on any
+# change to the formulas below; the full parameter key rides alongside)
+_HOST_CACHE_FMT = 1
 
 
 def _fitting_dphi_basis_np(cfg: GalacsiConfig):
@@ -290,22 +293,31 @@ def fitting_dphi_basis(cfg: GalacsiConfig, _fill_only=False):
                 f"fitting-PSD expansion error {err:.2e} exceeds the 1e-7 "
                 f"budget for L0 >= {cfg.dphi_split_l0_min}; raise "
                 f"dphi_split_degree or dphi_split_l0_min")
-        dim = cfg.dim
-        sampnum = dim / cfg.npup
-        L = cfg.dpup * sampnum
-        scale = dim * dim / (L * L)
-        f = centered_freq_radius(dim, 2.0 * cfg.dpup)
-        mask = (f >= cfg.fc).astype(np.float64)
-        u0, binoms = fitting_expansion_spec(cfg.dphi_split_l0_min,
-                                            cfg.dphi_split_degree)
-        f2u = f * f + u0
-        ts = []
-        for k in range(len(binoms)):
-            b = mask * f2u ** (-11.0 / 6.0 - k)
-            bg = np.fft.ifft2(np.fft.fftshift(b)).real * scale
-            t = 2.0 * (bg[0, 0] - bg)
-            ts.append(np.fft.fftshift(t))
-        _DPHI_BASIS_CACHE[key] = np.stack(ts).astype(cfg.dtype)
+        from ..utils.compile_cache import (host_cache_load,
+                                           host_cache_store)
+        dkey = (_HOST_CACHE_FMT,) + key
+        hit = host_cache_load("dphi_basis", dkey)
+        if hit is not None:
+            _DPHI_BASIS_CACHE[key] = hit["basis"]
+        else:
+            dim = cfg.dim
+            sampnum = dim / cfg.npup
+            L = cfg.dpup * sampnum
+            scale = dim * dim / (L * L)
+            f = centered_freq_radius(dim, 2.0 * cfg.dpup)
+            mask = (f >= cfg.fc).astype(np.float64)
+            u0, binoms = fitting_expansion_spec(cfg.dphi_split_l0_min,
+                                                cfg.dphi_split_degree)
+            f2u = f * f + u0
+            ts = []
+            for k in range(len(binoms)):
+                b = mask * f2u ** (-11.0 / 6.0 - k)
+                bg = np.fft.ifft2(np.fft.fftshift(b)).real * scale
+                t = 2.0 * (bg[0, 0] - bg)
+                ts.append(np.fft.fftshift(t))
+            _DPHI_BASIS_CACHE[key] = np.stack(ts).astype(cfg.dtype)
+            host_cache_store("dphi_basis", dkey,
+                             {"basis": _DPHI_BASIS_CACHE[key]})
     if _fill_only:
         return None
     arr = _DPHI_BASIS_CACHE[key]
@@ -334,6 +346,13 @@ def fitting_dphi_ring_envelopes(cfg: GalacsiConfig):
     key = (cfg.dim, cfg.npup, cfg.dpup, cfg.fc, cfg.dphi_split_degree,
            cfg.dphi_split_l0_min)
     if key not in _BASIS_RING_CACHE:
+        from ..utils.compile_cache import (host_cache_load,
+                                           host_cache_store)
+        dkey = (_HOST_CACHE_FMT,) + key
+        hit = host_cache_load("dphi_rings", dkey)
+        if hit is not None:
+            _BASIS_RING_CACHE[key] = (hit["tmin"], hit["tmax"])
+            return _BASIS_RING_CACHE[key]
         arr = _fitting_dphi_basis_np(cfg.with_(dtype="float64"))
         c = cfg.dim // 2
         ii = np.abs(np.arange(cfg.dim) - c)
@@ -348,6 +367,7 @@ def fitting_dphi_ring_envelopes(cfg: GalacsiConfig):
         tmax = np.stack([np.maximum.reduceat(flat[k][order], bounds)
                          for k in range(arr.shape[0])])
         _BASIS_RING_CACHE[key] = (tmin, tmax)
+        host_cache_store("dphi_rings", dkey, {"tmin": tmin, "tmax": tmax})
     return _BASIS_RING_CACHE[key]
 
 
@@ -415,8 +435,11 @@ def lambda_crop_size(lbda_nm, cfg: GalacsiConfig):
     """
     scale = cfg.dimpsf * cfg.pixscale * 2.0 * cfg.dpup * 4.85 * 1000.0
     if not isinstance(lbda_nm, jax.core.Tracer):
+        # stay on the HOST (numpy): wrapping in jnp here pushes to the
+        # device and the planner's np.asarray pulls straight back — a
+        # ~30 ms round trip per batch plan on a tunneled TPU
         raw = scale / np.asarray(lbda_nm, np.float64)
-        return jnp.asarray((np.round(raw / 2.0) * 2.0).astype(np.int32))
+        return (np.round(raw / 2.0) * 2.0).astype(np.int32)
     raw = scale / lbda_nm
     return (jnp.round(raw / 2.0) * 2.0).astype(jnp.int32)
 
