@@ -29,6 +29,11 @@ def run_cli(cache_env, tag):
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
     env["MUSE_PSFR_COMPILE_CACHE"] = cache_env
+    # the host-side table cache (utils/compile_cache.host_cache_dir)
+    # rides the same lifecycle: fresh dir for cold, reused for warm,
+    # disabled for the control
+    env["MUSE_PSFR_HOST_CACHE"] = (
+        "0" if cache_env == "0" else os.path.join(cache_env, "host"))
     t0 = time.perf_counter()
     proc = subprocess.run(
         [sys.executable, "-m", "muse_psfr_tpu", "--no-color",

@@ -52,6 +52,60 @@ def _backend_supports_cache() -> bool:
     return "axon" not in pv.lower()
 
 
+def host_cache_dir():
+    """Directory for HOST-side precomputed tables (numpy, backend
+    independent — safe on every deployment, axon included), or ``None``
+    when disabled with ``MUSE_PSFR_HOST_CACHE=0``.  Tables are keyed by
+    their full parameter tuple plus a format version, so stale entries
+    are never read; writes are atomic (tmp + rename)."""
+    v = os.environ.get("MUSE_PSFR_HOST_CACHE")
+    if v is not None and v.strip() in ("0", "false", "no"):
+        return None
+    path = (v if v and v.strip() not in ("1", "true", "yes")
+            else os.path.join(_default_cache_dir(), "..", "host_cache"))
+    path = os.path.normpath(path)
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:
+        return None
+    return path
+
+
+def host_cache_load(name: str, key: tuple):
+    """Load dict-of-arrays for (name, key), or None on any miss."""
+    import numpy as np
+    d = host_cache_dir()
+    if d is None:
+        return None
+    import hashlib
+    h = hashlib.sha256(repr(key).encode()).hexdigest()[:24]
+    path = os.path.join(d, f"{name}-{h}.npz")
+    try:
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    except Exception:  # noqa: BLE001 — missing/corrupt: recompute
+        return None
+
+
+def host_cache_store(name: str, key: tuple, arrays: dict):
+    """Atomically store dict-of-arrays under (name, key); best-effort."""
+    import numpy as np
+    d = host_cache_dir()
+    if d is None:
+        return
+    import hashlib
+    import tempfile
+    h = hashlib.sha256(repr(key).encode()).hexdigest()[:24]
+    path = os.path.join(d, f"{name}-{h}.npz")
+    try:
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, **arrays)
+        os.replace(tmp, path)
+    except Exception as err:  # noqa: BLE001
+        logger.debug("host cache store failed for %s: %s", name, err)
+
+
 def ensure_compile_cache() -> bool:
     """Enable the persistent compilation cache when the deployment
     supports it.  Returns whether the cache is active.  Idempotent:
