@@ -147,8 +147,17 @@ def main():
     # accuracy: reconstruct the first chunk again (reusing the jit cache —
     # a fresh batch shape would cost a multi-minute compile) and compare
     # the pinned row 0 to the committed float64 oracle golden cube
-    from muse_psfr_tpu.parallel.batch import reconstruct_batch
+    from muse_psfr_tpu.parallel.batch import reconstruct_batch, plan_batch
     n0 = min(chunk, N_ROWS)
+    # which plan variant the accuracy row takes (VERDICT r4 item 5: the
+    # golden row IS blue-admitted on the bench night — prove it in the
+    # record, so the rms line demonstrably covers the blue path)
+    acc_plan = plan_batch(seeing[:n0], GL[:n0], L0[:n0], mask[:n0], lbda,
+                          npsflin=1, cfg=cfg, chunk=chunk)
+    g0 = next(g for g in acc_plan.groups if 0 in g.rows.tolist())
+    row0_plan = {"otf_support": int(g0.cfg.otf_support),
+                 "otf_blue": (list(map(int, g0.cfg.otf_blue))
+                              if g0.cfg.otf_blue else None)}
     psf0 = reconstruct_batch(seeing[:n0], GL[:n0], L0[:n0], mask[:n0], lbda,
                              npsflin=1, cfg=cfg, chunk=chunk)[0]
     golden = np.load(os.path.join(
@@ -165,6 +174,7 @@ def main():
         "nl": NL,
         "elapsed_s": round(elapsed, 3),
         "rms_vs_f64_oracle": rms,
+        "row0_plan": row0_plan,
         "block_minima_s": [round(t, 4) for t in block_mins],
         "block_spread": round(max(block_mins) / min(block_mins), 3),
         "baseline_rows_per_sec": round(baseline["rows_per_sec"], 4),
