@@ -90,6 +90,14 @@ def main():
         [1.0], [0.7], [25.0], np.ones((1, 4)), lb35, cfg=cfg_hi, chunk=1)))
     rows.append(("high-res 2048^2: one row x 35 lambda", 1, t))
 
+    # 4a. high-res NIGHT: 100 rows through the full planner at 2048^2
+    # (buckets at S=512, blue splits at 256/512, tail menu, VMEM-model
+    # chunk policy — VERDICT r4 item 4; measured 0.123 s best on the
+    # real chip 2026-08-20)
+    t, _ = timed(lambda: (process_batch(
+        seeing, GL, L0, mask, lb35, cfg=cfg_hi, chunk=25)))
+    rows.append(("high-res 2048^2 night: 100 rows x 35 lambda", 100, t))
+
     # 5. 32x32 condition sweep over (seeing, GL) at fixed L0, 35 lambda
     sv = np.linspace(0.6, 1.6, 32)
     gv = np.linspace(0.3, 0.9, 32)
