@@ -219,7 +219,7 @@ class GalacsiConfig:
                                # extended device window guard; each
                                # distinct value is a separate pipeline
                                # compilation.  None = single window.
-    blue_tiers: int = 1        # max blue subgroups the planner may form
+    blue_tiers: int = 0        # max blue subgroups the planner may form
                                # per support bucket (a LADDER of
                                # descending segment lengths — admission
                                # is graded in nb, so strong admitters
@@ -229,7 +229,16 @@ class GalacsiConfig:
                                # guarded by the same 4/3 score rule as
                                # the single-subgroup split; env override
                                # MUSE_PSFR_BLUE_TIERS.  1 = the
-                               # round-4-measured single-subgroup plan.
+                               # round-4-measured single-subgroup plan;
+                               # 0 = AUTO: 2 tiers for multi-direction
+                               # runs (ndir >= 9 — measured 1.04 paired
+                               # median, 7/8 pairs, on the 9-direction
+                               # 1000-row night, healthy link,
+                               # measure_blue_tiers.py round 5; the
+                               # round-4 wash was link contention), 1
+                               # otherwise (single-direction nights are
+                               # pull/dispatch-bound and keep the
+                               # round-4 plans bit-identical).
     zoom_anchor: str = "off"   # anchored-Taylor evaluation of the OTF
                                # damping exp(alpha_l * Dphi_d) inside the
                                # fused Pallas kernel: ONE anchor

@@ -696,9 +696,17 @@ def estimate_otf_support(seeing, GL, L0, gs_mask, lbda_max_nm, cfg,
     return 0
 
 
-def _blue_tiers(cfg) -> int:
+def _blue_tiers(cfg, ndir: int = 1) -> int:
     """Max blue tiers per group: ``MUSE_PSFR_BLUE_TIERS`` overrides
-    ``cfg.blue_tiers`` (defensive parse, like MUSE_PSFR_PULL_PART)."""
+    ``cfg.blue_tiers`` (defensive parse, like MUSE_PSFR_PULL_PART).
+
+    ``cfg.blue_tiers == 0`` is AUTO: 2 tiers for multi-direction runs
+    (``ndir >= 9``, where the exp area is large enough that the ladder
+    measured a 1.04 paired-median win on a healthy link —
+    ``benchmarks/measure_blue_tiers.py`` round 5; the round-4 wash was
+    link contention), 1 otherwise (single-direction nights are
+    pull/dispatch-bound; their plans stay bit-identical to round 4).
+    """
     env = os.environ.get("MUSE_PSFR_BLUE_TIERS")
     if env is not None:
         try:
@@ -709,7 +717,10 @@ def _blue_tiers(cfg) -> int:
         except ValueError:
             logger.warning("MUSE_PSFR_BLUE_TIERS=%r is not an integer; "
                            "using cfg.blue_tiers", env)
-    return min(4, max(1, int(getattr(cfg, "blue_tiers", 1))))
+    raw = int(getattr(cfg, "blue_tiers", 0))
+    if raw == 0:
+        return 2 if ndir >= 9 else 1
+    return min(4, max(1, raw))
 
 
 def _blue_split_plan(groups, seeing, GL, L0, gs_mask, lb_np, h_t,
@@ -802,7 +813,7 @@ def _blue_split_plan(groups, seeing, GL, L0, gs_mask, lb_np, h_t,
             continue
         full_nb = max((nb for nb, c in cnts.items() if c == n_rows),
                       default=0)
-        tiers = _blue_tiers(gcfg)
+        tiers = _blue_tiers(gcfg, npsflin * npsflin)
         # enumerate blue LADDERS: descending (nb_1 > nb_2 > ...) tier
         # segment lengths, tier i keeping the quantum-rounded admitters
         # of nb_i not already taken by a bluer tier.  Score = sum of
