@@ -1142,6 +1142,10 @@ def _tail_size(chunk_n: int, rem: int) -> int:
     return chunk_n
 
 
+_PLAN_MEMO = {}
+_PLAN_MEMO_MAX = 8
+
+
 def plan_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                npsflin: int = 1, cfg: GalacsiConfig = None,
                chunk: int = 8, mesh: Mesh = None, force_full=False,
@@ -1162,12 +1166,32 @@ def plan_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
     GL = np.atleast_1d(np.asarray(GL, np.float64))
     L0 = np.atleast_1d(np.asarray(L0, np.float64))
     gs_mask = np.atleast_2d(np.asarray(gs_mask, np.float64))
-    (cfg_r, groups, chunk_n, table, lb_np, h_t, wind_speed, sharding,
-     npixc) = _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
-                          chunk, mesh, force_full)
     if use_tail is None:
         use_tail = (not force_full
                     and not os.environ.get("MUSE_PSFR_NO_TAIL"))
+    # the plan is a pure function of its inputs (plus the planning env
+    # knobs): re-planning an identical batch — e.g. repeated nights of
+    # the same telemetry — is wasted host time (~5 ms at bench shape).
+    # Tiny keyed memo; env knobs that alter planning are part of the key.
+    memo_key = None
+    try:
+        memo_key = (seeing.tobytes(), GL.tobytes(), L0.tobytes(),
+                    gs_mask.tobytes(),
+                    np.asarray(lbda, np.float64).tobytes(),
+                    tuple(np.asarray(h, np.float64).ravel()), npsflin,
+                    cfg, chunk, None if mesh is None else mesh.shape,
+                    bool(force_full), bool(use_tail),
+                    os.environ.get("MUSE_PSFR_NO_BLUE"),
+                    os.environ.get("MUSE_PSFR_BLUE_TIERS"),
+                    os.environ.get("MUSE_PSFR_FFT"))
+        hit = _PLAN_MEMO.get(memo_key)
+        if hit is not None:
+            return hit
+    except Exception:  # noqa: BLE001 — unhashable input: skip the memo
+        memo_key = None
+    (cfg_r, groups, chunk_n, table, lb_np, h_t, wind_speed, sharding,
+     npixc) = _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
+                          chunk, mesh, force_full)
     gplans = []
     for gcfg, gidx in groups:
         gb = gidx.shape[0]
@@ -1181,9 +1205,14 @@ def plan_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
         offs = tuple(int(o) for o in
                      np.concatenate([[0], np.cumsum(sizes)[:-1]]))
         gplans.append(GroupPlan(gcfg, gidx, sizes, nvals, offs))
-    return BatchPlan(cfg_r, chunk_n, npsflin, bool(use_tail), lb_np,
+    plan = BatchPlan(cfg_r, chunk_n, npsflin, bool(use_tail), lb_np,
                      npixc, h_t, float(wind_speed), table,
                      tuple(gplans))
+    if memo_key is not None:
+        if len(_PLAN_MEMO) >= _PLAN_MEMO_MAX:
+            _PLAN_MEMO.pop(next(iter(_PLAN_MEMO)))
+        _PLAN_MEMO[memo_key] = plan
+    return plan
 
 
 def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),

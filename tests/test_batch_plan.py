@@ -126,3 +126,19 @@ def test_process_batch_dispatches_the_plan():
     assert len(seen) >= len(expect)
     for e, s in zip(expect, seen):
         assert np.array_equal(e, s), (e, s)
+
+
+def test_plan_memo_hits_identical_inputs(monkeypatch):
+    """Identical batch inputs reuse the memoised plan; any changed
+    input or planning env knob misses."""
+    from muse_psfr_tpu.parallel import batch as pb
+    pb._PLAN_MEMO.clear()
+    p1 = _bench_plan(100, 50, 1)
+    p2 = _bench_plan(100, 50, 1)
+    assert p2 is p1
+    p3 = _bench_plan(100, 25, 1)
+    assert p3 is not p1
+    monkeypatch.setenv("MUSE_PSFR_NO_BLUE", "1")
+    p4 = _bench_plan(100, 50, 1)
+    assert p4 is not p1
+    assert all(g.cfg.otf_blue is None for g in p4.groups)
