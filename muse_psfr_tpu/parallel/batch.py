@@ -1259,30 +1259,39 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
         _warm_programs(specs, "recon", lbda, npixc, h_t, wind_speed,
                        npsflin)
 
-    for gcfg, gidx in groups:
-        # ONE host->device push per bucket of its telemetry rows (the
-        # tunneled link is latency-bound, so per-chunk per-column pushes
-        # dominated the steady state); chunks are sliced out on device
-        # inside the jitted step.  Pad each bucket so every chunk
-        # dispatch has the same shape (one compilation per bucket);
-        # padding repeats the last row (pad results are discarded via
-        # the yielded index count).
-        gb = gidx.shape[0]
-        gt = table[gidx]
-        n_pad = (-gb) % chunk
-        if n_pad:
-            gt = np.concatenate([gt, np.repeat(gt[-1:], n_pad, axis=0)],
-                                axis=0)
+    # single-push run: ONE H2D transfer carries every group's padded
+    # telemetry and ONE more every chunk's global offset (the tunneled
+    # link pays ~10-25 ms command latency per push; per-group and
+    # per-chunk-scalar pushes dominated short batches) — see the same
+    # policy in process_batch.  Chunks dynamic-slice at their global
+    # offset: traced offset + static size, so the slice compiles once
+    # for any batch size and any chunk position, and the full table
+    # shape never reaches the pipeline executable.
+    night = None
+    if sharding is None:
+        gts, offs_all, base = [], [], 0
+        for gcfg, gidx in groups:
+            gb = gidx.shape[0]
+            gt = table[gidx]
+            n_pad = (-gb) % chunk
+            if n_pad:
+                gt = np.concatenate(
+                    [gt, np.repeat(gt[-1:], n_pad, axis=0)], axis=0)
+            gts.append(gt)
+            offs_all.append(base + np.arange(0, gb, chunk))
+            base += gt.shape[0]
+        if gts:
+            night = (jnp.asarray(np.concatenate(gts, axis=0), cfg.dtype),
+                     jnp.asarray(np.concatenate(offs_all), jnp.int32))
 
+    for g_i, (gcfg, gidx) in enumerate(groups):
+        gb = gidx.shape[0]
         if sharding is None:
-            table_d = jnp.asarray(gt, gcfg.dtype)
-            for lo in range(0, gb, chunk):
-                # eager dynamic slice: traced offset + static size, so
-                # it compiles once for any batch size and any chunk
-                # position — the full table shape never reaches the
-                # pipeline executable
+            table_d, offs_d = night
+            j0 = int(sum(o.size for o in offs_all[:g_i]))
+            for ci, lo in enumerate(range(0, gb, chunk)):
                 t = jax.lax.dynamic_slice_in_dim(
-                    table_d, jnp.asarray(lo, jnp.int32), chunk, axis=0)
+                    table_d, offs_d[j0 + ci], chunk, axis=0)
                 try:
                     res, guard = _reconstruct_chunk(t, lbda, npixc, h_t,
                                                     wind_speed, npsflin,
@@ -1291,6 +1300,11 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                     _chunk_compile_hint(err, chunk)
                 yield gidx[lo:lo + chunk], res, guard
             continue
+        gt = table[gidx]
+        n_pad = (-gb) % chunk
+        if n_pad:
+            gt = np.concatenate([gt, np.repeat(gt[-1:], n_pad, axis=0)],
+                                axis=0)
 
         # mesh path: ONE host->device push of the padded bucket table
         # (per-chunk pushes dominated: n_chunks transfers vs one for the
