@@ -63,6 +63,9 @@ def night():
     chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 6
     npsflin = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+    # optional: the two tier counts to compare (default 2 vs 1)
+    tiers_a = int(sys.argv[6]) if len(sys.argv) > 6 else 2
+    tiers_b = int(sys.argv[7]) if len(sys.argv) > 7 else 1
     lbda = np.linspace(490, 930, 35)
     seeing, GL, L0, mask = _rows(rows)
 
@@ -73,26 +76,28 @@ def night():
                       chunk=chunk)
         return time.perf_counter() - t0
 
-    for name, tiers in (("t2", 2), ("t1", 1)):
+    ab = ((f"t{tiers_a}", tiers_a), (f"t{tiers_b}", tiers_b))
+    for name, tiers in ab:
         print(json.dumps({"warmup": name, "s": round(run(tiers), 1)}),
               flush=True)
-    times = {"t1": [], "t2": []}
+    na, nb = ab[0][0], ab[1][0]
+    times = {na: [], nb: []}
     pairs = []
     for rep in range(reps):
-        for name, tiers in (("t2", 2), ("t1", 1)):
+        for name, tiers in ab:
             dt = run(tiers)
             times[name].append(dt)
             print(json.dumps({"rep": rep, "which": name,
                               "s": round(dt, 4),
                               "rows_per_s": round(rows / dt, 1)}),
                   flush=True)
-        pairs.append(times["t1"][-1] / times["t2"][-1])
+        pairs.append(times[nb][-1] / times[na][-1])
     print(json.dumps({
         "rows": rows, "chunk": chunk, "npsflin": npsflin, "reps": reps,
-        "t1_median_s": round(float(np.median(times["t1"])), 4),
-        "t2_median_s": round(float(np.median(times["t2"])), 4),
-        "t1_rows_per_s": round(rows / float(np.median(times["t1"])), 1),
-        "t2_rows_per_s": round(rows / float(np.median(times["t2"])), 1),
+        f"{nb}_median_s": round(float(np.median(times[nb])), 4),
+        f"{na}_median_s": round(float(np.median(times[na])), 4),
+        f"{nb}_rows_per_s": round(rows / float(np.median(times[nb])), 1),
+        f"{na}_rows_per_s": round(rows / float(np.median(times[na])), 1),
         "paired_speedup_median": round(float(np.median(pairs)), 3),
         "paired_speedups": [round(p, 3) for p in pairs]}, ),
         flush=True)
