@@ -608,11 +608,22 @@ print('MH_PIPELINE_OK', sys.argv[1])
     env["JAX_PLATFORMS"] = "cpu"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [subprocess.Popen([sys.executable, str(worker), str(i)],
-                              env=env, stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT, text=True)
-             for i in range(2)]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+
+    def _launch():
+        procs = [subprocess.Popen([sys.executable, str(worker), str(i)],
+                                  env=env, stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT, text=True)
+                 for i in range(2)]
+        return procs, [p.communicate(timeout=900)[0] for p in procs]
+
+    procs, outs = _launch()
+    if any(p.returncode for p in procs) and \
+            any("DEADLINE_EXCEEDED" in o for o in outs):
+        # Gloo's cross-process collective context has a fixed 30 s
+        # init deadline; on a loaded 2-core CI machine the first
+        # (compile-heavy) attempt can skew the two processes past it.
+        # One retry runs with both persistent caches warm.
+        procs, outs = _launch()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
         assert f"MH_PIPELINE_OK {i}" in out
