@@ -9,7 +9,7 @@ vmapped, mesh-shardable program; FITS I/O and the ``muse-psfr`` CLI are
 preserved exactly.
 """
 
-__version__ = "1.9.1"
+__version__ = "1.10.0"
 
 from .utils.log import setup_logging as _setup_logging
 

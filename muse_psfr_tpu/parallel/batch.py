@@ -707,19 +707,20 @@ def _blue_tiers(cfg, ndir: int = 1) -> int:
     link contention), 1 otherwise (single-direction nights are
     pull/dispatch-bound; their plans stay bit-identical to round 4).
     """
+    raw = None
     env = os.environ.get("MUSE_PSFR_BLUE_TIERS")
     if env is not None:
         try:
-            # the ladder enumeration is C(menu, tiers) per group: clamp
-            # to a small constant so a user-forced value cannot blow up
-            # host-side planning combinatorially
-            return min(4, max(1, int(env)))
+            raw = int(env)
         except ValueError:
             logger.warning("MUSE_PSFR_BLUE_TIERS=%r is not an integer; "
                            "using cfg.blue_tiers", env)
-    raw = int(getattr(cfg, "blue_tiers", 0))
-    if raw == 0:
+    if raw is None:
+        raw = int(getattr(cfg, "blue_tiers", 0))
+    if raw == 0:              # AUTO — same semantics for env and cfg
         return 2 if ndir >= 9 else 1
+    # the ladder enumeration is C(menu, tiers) per group: clamp to a
+    # small constant so a forced value cannot blow up host planning
     return min(4, max(1, raw))
 
 
@@ -1074,7 +1075,10 @@ class BatchPlan:
     npsflin: int
     use_tail: bool
     lbda: np.ndarray              # normalised host wavelength grid [nm]
-    npixc: np.ndarray             # per-wavelength crop sizes (host f64)
+    npixc: np.ndarray             # per-wavelength crop sizes (int32,
+                                  # decided in host float64 — the
+                                  # banker's-rounding QUIRK of
+                                  # otf/psf.py:lambda_crop_size)
     h: tuple                      # layer altitudes
     wind_speed: float
     table: np.ndarray             # (B, 7) normalised telemetry
@@ -1179,7 +1183,9 @@ def plan_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
                     gs_mask.tobytes(),
                     np.asarray(lbda, np.float64).tobytes(),
                     tuple(np.asarray(h, np.float64).ravel()), npsflin,
-                    cfg, chunk, None if mesh is None else mesh.shape,
+                    cfg, chunk,
+                    (None if mesh is None
+                     else (mesh.size, tuple(mesh.axis_names))),
                     bool(force_full), bool(use_tail),
                     os.environ.get("MUSE_PSFR_NO_BLUE"),
                     os.environ.get("MUSE_PSFR_BLUE_TIERS"),
@@ -1205,6 +1211,14 @@ def plan_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
         offs = tuple(int(o) for o in
                      np.concatenate([[0], np.cumsum(sizes)[:-1]]))
         gplans.append(GroupPlan(gcfg, gidx, sizes, nvals, offs))
+    # freeze the plan's arrays: the memo shares one BatchPlan across
+    # calls, and the executor hands on_chunk/on_final VIEWS of
+    # groups[].rows — an (incorrect) in-place mutation by a sink must
+    # fail loudly, not silently corrupt the cached plan.  lb_np may
+    # alias the caller's array, so it is copied before freezing.
+    lb_np = np.array(lb_np)
+    for arr in (table, npixc, lb_np, *(g.rows for g in gplans)):
+        arr.setflags(write=False)
     plan = BatchPlan(cfg_r, chunk_n, npsflin, bool(use_tail), lb_np,
                      npixc, h_t, float(wind_speed), table,
                      tuple(gplans))
@@ -1239,6 +1253,7 @@ def _run_chunks(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
      npixc) = _plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
                           chunk, mesh, force_full)
     lbda = jnp.asarray(lbda, cfg.dtype)
+    npixc = jnp.asarray(npixc)   # one push, not one per chunk dispatch
     mesh = None if sharding is None else sharding.mesh
 
     if sharding is None and not force_full:
@@ -1487,8 +1502,12 @@ def process_batch(seeing, GL, L0, gs_mask, lbda, h=(100, 10000),
         plan = plan_batch(seeing, GL, L0, gs_mask, lbda, h, npsflin, cfg,
                           chunk, mesh, _force_full)
     cfg_r, chunk_n, table = plan.cfg, plan.chunk, plan.table
-    h_t, wind_speed, npixc_j = plan.h, plan.wind_speed, plan.npixc
+    h_t, wind_speed = plan.h, plan.wind_speed
     lbda_j = jnp.asarray(plan.lbda, cfg_r.dtype)
+    # ONE device push for the crop-size vector: a numpy jit argument
+    # would re-transfer host->device on EVERY chunk dispatch (each
+    # push is latency-bound on the tunneled link)
+    npixc_j = jnp.asarray(plan.npixc)
     sharding = None if mesh is None else NamedSharding(mesh, P("rows"))
 
     fits, idxs, psums, guards = [], [], [], []

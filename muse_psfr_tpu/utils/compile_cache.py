@@ -127,16 +127,23 @@ def ensure_compile_cache() -> bool:
             return False
     try:
         os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
         # the night's executables are all multi-second compiles, but the
-        # CLI's tiny fit/plot helpers benefit too — cache everything
+        # CLI's tiny fit/plot helpers benefit too — cache everything.
+        # The DIR is set LAST: a failure on any earlier update (e.g. a
+        # JAX version without these config names) must leave the cache
+        # fully off, never half-enabled.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         _DONE = cache_dir
         logger.debug("persistent compilation cache at %s", cache_dir)
         return True
     except Exception as err:  # noqa: BLE001 — cache is best-effort
         logger.warning("could not enable the persistent compilation "
                        "cache at %s: %s", cache_dir, err)
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+        except Exception:  # noqa: BLE001
+            pass
         _DONE = False
         return False
