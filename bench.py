@@ -117,9 +117,17 @@ def main():
     # (up to BENCH_MAX_BLOCKS) while the per-block minima still spread
     # more than 2x (a burst straddling the whole default horizon).
     n_blocks = int(os.environ.get("BENCH_BLOCKS", "4"))
-    max_blocks = int(os.environ.get("BENCH_MAX_BLOCKS", "8"))
+    max_blocks = int(os.environ.get("BENCH_MAX_BLOCKS", "10"))
     n_reps = int(os.environ.get("BENCH_REPS", "3"))
     gap_s = float(os.environ.get("BENCH_BLOCK_GAP_S", "75"))
+    # committed calm-link bests (benchmarks/RESULTS.md): if this run
+    # never gets within 1.5x of them, the whole default horizon sat in
+    # a contention episode — extend it rather than record the episode
+    # (uniformly-slow blocks have LOW spread, so the spread trigger
+    # alone misses exactly the sustained bursts that halved BENCH_r04)
+    expect_s = float(os.environ.get(
+        "BENCH_EXPECT_S", "0.078" if N_ROWS <= 200 else
+        str(0.307 * N_ROWS / 1000)))
     times, block_mins = [], []
     block = 0
     while block < n_blocks:
@@ -133,14 +141,18 @@ def main():
         times += bt
         block_mins.append(min(bt))
         block += 1
-        # burst detector: if the best and worst block disagree by >2x
-        # the night is riding a contention burst — extend the horizon
-        if (block == n_blocks and n_blocks < max_blocks
-                and max(block_mins) / min(block_mins) > 2.0):
-            n_blocks = min(max_blocks, n_blocks + 2)
-            print(f"# contention burst detected (block minima spread "
-                  f"{max(block_mins) / min(block_mins):.2f}x); extending "
-                  f"to {n_blocks} blocks", file=sys.stderr)
+        if block == n_blocks and n_blocks < max_blocks:
+            spread = max(block_mins) / min(block_mins)
+            off_best = min(block_mins) / expect_s if expect_s > 0 else 1.0
+            # burst detectors: (a) blocks disagree >2x — a burst inside
+            # the horizon; (b) even the best block is >1.5x the
+            # committed calm-link best — a burst spanning the horizon
+            if spread > 2.0 or off_best > 1.5:
+                n_blocks = min(max_blocks, n_blocks + 2)
+                print(f"# contention detected (block spread "
+                      f"{spread:.2f}x, best {off_best:.2f}x the "
+                      f"committed calm best); extending to {n_blocks} "
+                      f"blocks", file=sys.stderr)
     elapsed = min(times)
     rows_per_sec = N_ROWS / elapsed
 
@@ -177,6 +189,7 @@ def main():
         "row0_plan": row0_plan,
         "block_minima_s": [round(t, 4) for t in block_mins],
         "block_spread": round(max(block_mins) / min(block_mins), 3),
+        "vs_committed_calm_best": round(elapsed / expect_s, 2),
         "baseline_rows_per_sec": round(baseline["rows_per_sec"], 4),
         "device": str(jax.devices()[0]),
         "dtype": cfg.dtype,
