@@ -28,3 +28,20 @@ def test_full_night_example(tmp_path):
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "wrote" in proc.stdout
     assert (tmp_path / "night_psf.fits").exists()
+
+
+def test_multihost_example(tmp_path):
+    """The multi-host demo spawns 2 local processes over a 4-device
+    global mesh and asserts both return the identical night."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "examples", "multihost_night.py")
+    env = dict(os.environ)
+    env["MUSE_PSFR_TINY"] = "1"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run([sys.executable, script], env=env,
+                          capture_output=True, text=True, timeout=600,
+                          cwd=str(tmp_path))
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "identical" in proc.stdout
+    assert (tmp_path / "mh_demo_fit_0.npy").exists()
