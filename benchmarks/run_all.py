@@ -152,9 +152,13 @@ def main():
             cells = [c.strip() for c in line.split("|")]
             if len(cells) == 7 and cells[1] and cells[2].isdigit():
                 try:
-                    old_best[cells[1]] = float(cells[3])
+                    t_old = float(cells[3])
                 except ValueError:
-                    pass
+                    continue
+                # min across occurrences: the historical sections carry
+                # older (slower) tables with the same row names
+                old_best[cells[1]] = min(
+                    old_best.get(cells[1], t_old), t_old)
     for name, n, t in rows:
         t = min(t, old_best.get(name, t))
         lines.append("| %s | %d | %.3f | %.1f | %.0fx |"
