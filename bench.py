@@ -144,10 +144,13 @@ def main():
         if block == n_blocks and n_blocks < max_blocks:
             spread = max(block_mins) / min(block_mins)
             off_best = min(block_mins) / expect_s if expect_s > 0 else 1.0
-            # burst detectors: (a) blocks disagree >2x — a burst inside
-            # the horizon; (b) even the best block is >1.5x the
-            # committed calm-link best — a burst spanning the horizon
-            if spread > 2.0 or off_best > 1.5:
+            # burst detectors: (a) blocks disagree >2x AND the best is
+            # still meaningfully off — a burst inside the horizon; (b)
+            # even the best block is >1.5x the committed calm-link best
+            # — a burst spanning the horizon.  Once a block lands within
+            # 1.1x of the committed best there is nothing left to ride
+            # out (the minimum is already trustworthy).
+            if off_best > 1.5 or (spread > 2.0 and off_best > 1.1):
                 n_blocks = min(max_blocks, n_blocks + 2)
                 print(f"# contention detected (block spread "
                       f"{spread:.2f}x, best {off_best:.2f}x the "
